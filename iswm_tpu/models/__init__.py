@@ -1,0 +1,118 @@
+"""Model zoo factory.
+
+Replaces the reference factory (reference network/modeling.py:12-83) and
+removes its gaps: every registered backbone is actually constructible
+(the reference raises NotImplementedError for anything but resnet,
+modeling.py:70-71, and hardcodes resnet50 in train.py:412-419).
+
+Factory names follow the reference convention:
+    deeplabv3plus_resnet50, deeplabv3plus_resnet101, deeplabv3_resnet50, ...
+    deeplabv3plus_mobilenet, deeplabv3plus_xception, ...
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+from ..config import ModelConfig, aspp_dilations
+from .deeplab import ASPP, DeepLabHead, DeepLabHeadV3Plus, DeepLabV3Model
+from .mobilenetv2 import MobileNetV2
+from .resnet import ResNet, resnet_feature_channels
+from .xception import Xception
+
+_RESNETS = ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152")
+BACKBONES = _RESNETS + ("mobilenetv2", "xception")
+HEADS = ("deeplabv3plus", "deeplabv3")
+
+
+def _dtype(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}[
+        name
+    ]
+
+
+def build_model(cfg: ModelConfig) -> DeepLabV3Model:
+    """Build a segmentation model from config.
+
+    OS=8 -> dilate resnet layers 3&4 / ASPP [12,24,36]; OS=16 -> dilate
+    layer 4 only / [6,12,18] (reference network/modeling.py:14-19).
+    """
+    if cfg.name not in HEADS:
+        raise ValueError(f"unknown model name {cfg.name!r}; expected one of {HEADS}")
+    if cfg.backbone not in BACKBONES:
+        raise ValueError(
+            f"unknown backbone {cfg.backbone!r}; expected one of {BACKBONES}"
+        )
+    dtype = _dtype(cfg.compute_dtype)
+    param_dtype = _dtype(cfg.param_dtype)
+    kw = dict(dtype=dtype, param_dtype=param_dtype)
+    rates = aspp_dilations(cfg.output_stride)
+
+    if cfg.backbone in _RESNETS:
+        rswd = (False, True, True) if cfg.output_stride == 8 else (False, False, True)
+        backbone = ResNet(
+            arch=cfg.backbone,
+            replace_stride_with_dilation=rswd,
+            in_channels=cfg.in_channels,
+            **kw,
+        )
+    elif cfg.backbone == "mobilenetv2":
+        backbone = MobileNetV2(output_stride=cfg.output_stride, **kw)
+    else:  # xception
+        # 4-tuple over (block1, block2, block3+middle, block12):
+        # OS=16 dilates the exit flow; OS=8 also dilates block3+middle.
+        rswd = (
+            (False, False, True, True)
+            if cfg.output_stride == 8
+            else (False, False, False, True)
+        )
+        backbone = Xception(replace_stride_with_dilation=rswd, **kw)
+
+    head_cls = DeepLabHeadV3Plus if cfg.name == "deeplabv3plus" else DeepLabHead
+    head = head_cls(
+        num_classes=cfg.num_classes,
+        atrous_rates=rates,
+        separable=cfg.separable_conv,
+        **kw,
+    )
+    return DeepLabV3Model(backbone=backbone, head=head)
+
+
+def build_model_by_name(
+    factory_name: str,
+    num_classes: int = 2,
+    output_stride: int = 16,
+    **overrides: Any,
+) -> DeepLabV3Model:
+    """Reference-style factory: e.g. ``deeplabv3plus_resnet50`` (reference
+    network/modeling.py:75-83)."""
+    head, _, backbone = factory_name.partition("_")
+    if backbone == "mobilenet":
+        backbone = "mobilenetv2"
+    cfg = ModelConfig(
+        name=head,
+        backbone=backbone,
+        num_classes=num_classes,
+        output_stride=output_stride,
+    )
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    return build_model(cfg)
+
+
+__all__ = [
+    "ASPP",
+    "BACKBONES",
+    "DeepLabHead",
+    "DeepLabHeadV3Plus",
+    "DeepLabV3Model",
+    "HEADS",
+    "MobileNetV2",
+    "ResNet",
+    "Xception",
+    "build_model",
+    "build_model_by_name",
+    "resnet_feature_channels",
+]

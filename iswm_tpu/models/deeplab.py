@@ -1,0 +1,158 @@
+"""DeepLabV3 / DeepLabV3+ heads and the full segmentation model.
+
+TPU-native redesign of the reference head stack (reference
+network/_deeplab.py:33-172, network/utils.py:7-25):
+
+  - ASPP: 1x1 + three 3x3 atrous branches + global-pool branch, concat to
+    1280ch, 1x1 project to 256 + dropout(0.1).  On TPU the five branches
+    are independent matmul/conv fusions XLA schedules onto the MXU; the
+    concat+1x1 projection contracts 1280->256 in one matmul.
+  - DeepLabHeadV3Plus: low-level 1x1->48ch projection, ASPP on the deep
+    feature, bilinear x(OS/4) upsample, concat (304ch), 3x3/3x3/1x1
+    classifier.
+  - DeepLabV3Model: backbone -> head -> bilinear upsample to input H,W,
+    returning raw NHWC logits (reference returns NCHW; layout is the one
+    intentional API difference).
+
+The ``separable`` flag swaps every k>1 head conv for an atrous separable
+conv — the reference defines this (``AtrousSeparableConvolution``,
+_deeplab.py:95-119) but never wires it (SURVEY §0.1.6); here it is a
+first-class variant.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.resize import resize_bilinear
+from .layers import ConvBN, SeparableConvBN, global_avg_pool, kaiming_normal
+
+Dtype = Any
+
+
+def _conv3x3(separable: bool):
+    return SeparableConvBN if separable else ConvBN
+
+
+class ASPP(nn.Module):
+    """Atrous Spatial Pyramid Pooling (reference _deeplab.py:143-172)."""
+
+    atrous_rates: Sequence[int]
+    out_channels: int = 256
+    separable: bool = False
+    dropout_rate: float = 0.1
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        Conv3 = _conv3x3(self.separable)
+
+        branches = [ConvBN(self.out_channels, 1, name="b0", **kw)(x, train)]
+        for i, rate in enumerate(self.atrous_rates):
+            branches.append(
+                Conv3(self.out_channels, 3, dilation=rate, name=f"b{i + 1}", **kw)(
+                    x, train
+                )
+            )
+        # Image-level pooling branch (reference ASPPPooling, _deeplab.py:130-141).
+        pooled = global_avg_pool(x)
+        pooled = ConvBN(self.out_channels, 1, name="pool", **kw)(pooled, train)
+        # 1x1 feature map broadcast back to HxW — bilinear resize of a single
+        # pixel is a broadcast; do it explicitly so XLA emits no gather.
+        pooled = jnp.broadcast_to(
+            pooled, (x.shape[0], x.shape[1], x.shape[2], self.out_channels)
+        )
+        branches.append(pooled)
+
+        y = jnp.concatenate(branches, axis=-1)  # 5*256 = 1280ch
+        y = ConvBN(self.out_channels, 1, name="project", **kw)(y, train)
+        y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
+        return y
+
+
+class DeepLabHeadV3Plus(nn.Module):
+    """V3+ decoder head (reference _deeplab.py:33-69)."""
+
+    num_classes: int
+    atrous_rates: Sequence[int]
+    separable: bool = False
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: dict, train: bool = False) -> jax.Array:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        Conv3 = _conv3x3(self.separable)
+
+        low = ConvBN(48, 1, name="project", **kw)(features["low_level"], train)
+        out = ASPP(
+            self.atrous_rates, separable=self.separable, name="aspp", **kw
+        )(features["out"], train)
+        out = resize_bilinear(out, (low.shape[1], low.shape[2]))
+        x = jnp.concatenate([low, out.astype(low.dtype)], axis=-1)  # 304ch
+        x = Conv3(256, 3, name="cls0", **kw)(x, train)
+        x = Conv3(256, 3, name="cls1", **kw)(x, train)
+        x = nn.Conv(
+            self.num_classes,
+            (1, 1),
+            kernel_init=kaiming_normal,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="cls_out",
+        )(x)
+        return x
+
+
+class DeepLabHead(nn.Module):
+    """Plain V3 head: ASPP -> 3x3 -> 1x1 (reference _deeplab.py:71-93)."""
+
+    num_classes: int
+    atrous_rates: Sequence[int]
+    separable: bool = False
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: dict, train: bool = False) -> jax.Array:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        Conv3 = _conv3x3(self.separable)
+        x = ASPP(
+            self.atrous_rates, separable=self.separable, name="aspp", **kw
+        )(features["out"], train)
+        x = Conv3(256, 3, name="cls0", **kw)(x, train)
+        x = nn.Conv(
+            self.num_classes,
+            (1, 1),
+            kernel_init=kaiming_normal,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="cls_out",
+        )(x)
+        return x
+
+
+class DeepLabV3Model(nn.Module):
+    """backbone -> head -> full-resolution logits (reference network/utils.py:16-25).
+
+    The reference's Quant/DeQuantStubs (network/utils.py:19,24) are torch-int8
+    artifacts with no TPU meaning; quantized serving lives in
+    ``iswm_tpu.infer.quantization`` instead.
+    """
+
+    backbone: nn.Module
+    head: nn.Module
+    logits_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        input_hw = (x.shape[1], x.shape[2])
+        features = self.backbone(x, train)
+        logits = self.head(features, train)
+        logits = resize_bilinear(logits.astype(self.logits_dtype), input_hw)
+        return logits

@@ -1,0 +1,152 @@
+"""ResNet backbones with output-stride control (dilated residual stages).
+
+Functional NHWC re-design of the reference backbone (reference
+network/backbone/resnet.py:38-348): conv1 7x7/2 -> maxpool 3x3/2 ->
+layer1..layer4 with ``replace_stride_with_dilation`` semantics —
+when a stage trades its stride for dilation, the stage's first block keeps
+the *previous* dilation for its 3x3 conv and later blocks use the doubled
+one, exactly like torchvision's ``_make_layer`` (so reference checkpoints
+import weight-for-weight).
+
+Returns a feature dict ``{'low_level': layer1_out (C=256, stride 4),
+'out': layer4_out (C=2048, stride 8/16)}`` replacing the reference's
+IntermediateLayerGetter (network/utils.py:28-93).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import ConvBN, max_pool_torch
+
+Dtype = Any
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs; expansion 1 (reference resnet.py:38-75)."""
+
+    planes: int
+    strides: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    expansion = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        identity = x
+        out = ConvBN(
+            self.planes, 3, strides=self.strides, dilation=self.dilation,
+            name="conv1", **kw
+        )(x, train)
+        out = ConvBN(self.planes, 3, dilation=self.dilation, use_relu=False,
+                     name="conv2", **kw)(out, train)
+        if self.downsample:
+            identity = ConvBN(self.planes, 1, strides=self.strides,
+                              use_relu=False, name="downsample", **kw)(x, train)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3(stride/dilation) -> 1x1(x4) (reference resnet.py:78-120).
+    The residual add is a plain ``+`` — the reference's FloatFunctional
+    (resnet.py:97,117) exists only for torch-int8 bookkeeping."""
+
+    planes: int
+    strides: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        identity = x
+        out = ConvBN(self.planes, 1, name="conv1", **kw)(x, train)
+        out = ConvBN(self.planes, 3, strides=self.strides,
+                     dilation=self.dilation, name="conv2", **kw)(out, train)
+        out = ConvBN(self.planes * 4, 1, use_relu=False, name="conv3", **kw)(out, train)
+        if self.downsample:
+            identity = ConvBN(self.planes * 4, 1, strides=self.strides,
+                              use_relu=False, name="downsample", **kw)(x, train)
+        return nn.relu(out + identity)
+
+
+_ARCHS = {
+    # name: (block, layers)
+    "resnet18": (BasicBlock, (2, 2, 2, 2)),
+    "resnet34": (BasicBlock, (3, 4, 6, 3)),
+    "resnet50": (Bottleneck, (3, 4, 6, 3)),
+    "resnet101": (Bottleneck, (3, 4, 23, 3)),
+    "resnet152": (Bottleneck, (3, 8, 36, 3)),
+}
+
+
+def resnet_feature_channels(arch: str) -> Tuple[int, int]:
+    """(low_level, out) channel counts."""
+    block, _ = _ARCHS[arch]
+    return 64 * block.expansion, 512 * block.expansion
+
+
+class ResNet(nn.Module):
+    """Dilated ResNet backbone.
+
+    ``replace_stride_with_dilation`` is a 3-tuple for layers 2-4; OS=8 uses
+    (False, True, True), OS=16 (False, False, True) (reference
+    network/modeling.py:14-19).
+    """
+
+    arch: str = "resnet50"
+    replace_stride_with_dilation: Sequence[bool] = (False, False, True)
+    in_channels: int = 3  # recorded for checkpoint import; input must match
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> dict:
+        block, layer_sizes = _ARCHS[self.arch]
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        x = ConvBN(64, 7, strides=2, name="stem", **kw)(x, train)
+        x = max_pool_torch(x, 3, 2, 1)
+
+        features = {}
+        dilation = 1
+        in_planes_matches = False  # stem out (64) != 64*expansion for Bottleneck
+        for stage_idx, (planes, blocks) in enumerate(
+            zip((64, 128, 256, 512), layer_sizes)
+        ):
+            stride = 1 if stage_idx == 0 else 2
+            previous_dilation = dilation
+            if stage_idx > 0 and self.replace_stride_with_dilation[stage_idx - 1]:
+                dilation *= stride
+                stride = 1
+            for block_idx in range(blocks):
+                first = block_idx == 0
+                needs_ds = first and (
+                    stride != 1 or x.shape[-1] != planes * block.expansion
+                )
+                x = block(
+                    planes=planes,
+                    strides=stride if first else 1,
+                    # torchvision: first block of a dilated stage uses the
+                    # pre-doubling dilation; later blocks use the new one.
+                    dilation=previous_dilation if first else dilation,
+                    downsample=needs_ds,
+                    name=f"layer{stage_idx + 1}_{block_idx}",
+                    **kw,
+                )(x, train)
+            if stage_idx == 0:
+                features["low_level"] = x
+        features["out"] = x
+        return features

@@ -1,0 +1,105 @@
+"""Model zoo shape/semantics tests.
+
+Checks the structural contract of every backbone+head combination against
+the reference geometry (reference network/modeling.py:12-56): low-level
+stride 4, deep-feature stride = output_stride, logits at input resolution.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iswm_tpu.config import ModelConfig
+from iswm_tpu.models import build_model, build_model_by_name
+from iswm_tpu.models.resnet import ResNet
+
+
+def _init_and_run(model, x, train=False):
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, x, train=False
+    )
+    if train:
+        out, mutated = model.apply(
+            variables,
+            x,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(2)},
+        )
+        return out, variables, mutated
+    return model.apply(variables, x, train=False), variables, None
+
+
+@pytest.mark.parametrize("output_stride", [8, 16])
+def test_resnet_feature_strides(output_stride):
+    rswd = (False, True, True) if output_stride == 8 else (False, False, True)
+    bb = ResNet(arch="resnet50", replace_stride_with_dilation=rswd, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    feats, _, _ = _init_and_run(bb, x)
+    assert feats["low_level"].shape == (1, 16, 16, 256)  # stride 4
+    s = 64 // output_stride
+    assert feats["out"].shape == (1, s, s, 2048)
+
+
+@pytest.mark.parametrize(
+    "backbone,low_ch,out_ch",
+    [("resnet18", 64, 512), ("mobilenetv2", 24, 320), ("xception", 128, 2048)],
+)
+def test_other_backbone_channels(backbone, low_ch, out_ch):
+    cfg = ModelConfig(backbone=backbone, output_stride=16, compute_dtype="float32")
+    model = build_model(cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    logits, _, _ = _init_and_run(model, x)
+    assert logits.shape == (1, 64, 64, 2)
+
+
+@pytest.mark.parametrize("name", ["deeplabv3plus", "deeplabv3"])
+def test_head_variants_full_res_logits(name):
+    cfg = ModelConfig(
+        name=name, backbone="resnet18", output_stride=16, compute_dtype="float32"
+    )
+    model = build_model(cfg)
+    x = jnp.ones((2, 48, 48, 3))
+    logits, variables, _ = _init_and_run(model, x)
+    assert logits.shape == (2, 48, 48, 2)
+    assert logits.dtype == jnp.float32
+    assert "batch_stats" in variables
+
+
+def test_separable_variant_params_smaller():
+    dense = build_model(
+        ModelConfig(backbone="resnet18", separable_conv=False, compute_dtype="float32")
+    )
+    sep = build_model(
+        ModelConfig(backbone="resnet18", separable_conv=True, compute_dtype="float32")
+    )
+    x = jnp.zeros((1, 32, 32, 3))
+    n_dense = sum(
+        np.prod(p.shape)
+        for p in jax.tree.leaves(dense.init(jax.random.key(0), x)["params"])
+    )
+    n_sep = sum(
+        np.prod(p.shape)
+        for p in jax.tree.leaves(sep.init(jax.random.key(0), x)["params"])
+    )
+    assert n_sep < n_dense
+
+
+def test_train_mode_updates_batch_stats():
+    cfg = ModelConfig(backbone="resnet18", compute_dtype="float32")
+    model = build_model(cfg)
+    x = jax.random.normal(jax.random.key(3), (2, 32, 32, 3))
+    logits, variables, mutated = _init_and_run(model, x, train=True)
+    old = jax.tree.leaves(variables["batch_stats"])
+    new = jax.tree.leaves(mutated["batch_stats"])
+    changed = any(not np.allclose(a, b) for a, b in zip(old, new))
+    assert changed
+
+
+def test_factory_by_name():
+    m = build_model_by_name("deeplabv3plus_mobilenet", num_classes=3, output_stride=8)
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = m.init({"params": jax.random.key(0)}, x, train=False)
+    out = m.apply(variables, x, train=False)
+    assert out.shape == (1, 32, 32, 3)
