@@ -1,0 +1,143 @@
+"""Benchmark: 512x512 tiles/sec/chip for the flagship model (train + infer).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tiles/sec/chip", "vs_baseline": N, ...}
+
+Baseline context (BASELINE.md): the reference publishes NO numbers; its
+training config is DeepLabV3+/ResNet-50, and the stated target for this
+rebuild is >=5x an A100/TensorRT reference at 512x512.  We anchor
+``vs_baseline`` to an estimated A100 fp16 train throughput for
+DeepLabV3+/RN50 @ 512x512 of ~95 tiles/s (public MMSeg/TorchBench-class
+numbers for this architecture); vs_baseline = measured / 95.0.
+
+Usage: python bench.py [--smoke] [--batch N] [--size N] [--steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_TRAIN_TILES_PER_SEC = 95.0  # documented estimate, see module docstring
+
+
+def build(batch: int, size: int, backbone: str = "resnet50"):
+    from iswm_tpu.config import Config
+    from iswm_tpu.data.transforms import AugmentConfig
+    from iswm_tpu.models import build_model
+    from iswm_tpu.ops import make_loss_fn
+    from iswm_tpu.train.optim import make_optimizer
+    from iswm_tpu.train.step import create_train_state, make_eval_step, make_train_step
+
+    cfg = Config()
+    cfg.model.backbone = backbone
+    cfg.model.compute_dtype = "bfloat16"
+    model = build_model(cfg.model)
+    tx, _ = make_optimizer(cfg.optim, total_itrs=30000)
+    loss_fn = make_loss_fn("ce_loss")
+    train_step = make_train_step(model, tx, loss_fn, augment=None, donate=True)
+    eval_step = make_eval_step(model, normalize_input=False)
+
+    rng = jax.random.key(0)
+    sample = jnp.zeros((1, size, size, 3), jnp.bfloat16)
+    state = create_train_state(model, tx, rng, sample)
+
+    images = jnp.asarray(
+        np.random.default_rng(0).normal(size=(batch, size, size, 3)), jnp.bfloat16
+    )
+    labels = jnp.asarray(
+        (np.random.default_rng(1).random((batch, size, size)) > 0.9), jnp.int32
+    )
+    return state, train_step, eval_step, images, labels, rng
+
+
+def time_loop(fn, steps: int) -> float:
+    """Median-of-3 timing of `steps` dispatches, blocking on the last."""
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(steps):
+            out = fn()
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / steps)
+    return float(np.median(times))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true", help="tiny shapes, quick check")
+    ap.add_argument("--batch", type=int, default=0, help="0 = auto (try 16,8,4)")
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--backbone", default="resnet50")
+    args = ap.parse_args()
+
+    if args.smoke:
+        args.size, args.steps = 128, 3
+        batches = [4]
+    else:
+        batches = [args.batch] if args.batch else [16, 8, 4]
+
+    dev = jax.devices()[0]
+    state = train_step = None
+    batch = batches[-1]
+    for b in batches:
+        try:
+            state, train_step, eval_step, images, labels, rng = build(
+                b, args.size, args.backbone
+            )
+            # warm up / compile both paths
+            state, m = train_step(state, images, labels, rng)
+            jax.block_until_ready(m["loss"])
+            ev = eval_step(state.params, state.batch_stats, images)
+            jax.block_until_ready(ev["preds"])
+            batch = b
+            break
+        except Exception as e:  # OOM at this batch — try smaller
+            msg = str(e)
+            if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg:
+                print(f"batch {b} OOM, trying smaller", file=sys.stderr)
+                continue
+            raise
+    else:
+        raise RuntimeError("all batch sizes failed")
+
+    # --- train throughput (steps are dependent through donated state) ---
+    def train_once():
+        nonlocal state
+        state, m = train_step(state, images, labels, rng)
+        return m["loss"]
+
+    t_train = time_loop(train_once, args.steps)
+    train_tps = batch / t_train
+
+    # --- inference throughput ---
+    def infer_once():
+        return eval_step(state.params, state.batch_stats, images)["preds"]
+
+    t_infer = time_loop(infer_once, args.steps)
+    infer_tps = batch / t_infer
+
+    result = {
+        "metric": f"{args.size}x{args.size} train tiles/sec/chip (deeplabv3plus_{args.backbone} bf16)",
+        "value": round(train_tps, 2),
+        "unit": "tiles/sec/chip",
+        "vs_baseline": round(train_tps / A100_TRAIN_TILES_PER_SEC, 3),
+        "infer_tiles_per_sec": round(infer_tps, 2),
+        "batch": batch,
+        "device": str(dev),
+        "step_ms": round(t_train * 1e3, 2),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

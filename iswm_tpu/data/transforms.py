@@ -1,0 +1,244 @@
+"""Device-resident paired augmentation pipeline.
+
+TPU-native redesign of the reference's PIL transform chain (reference
+utils/ext_transforms.py; assembled at train.py:355-368).  The reference
+resizes/crops on the host per-sample with dynamic intermediate shapes; here
+random-scale + random-crop(pad_if_needed) + hflip compose into ONE static-
+shape affine gather per sample executed on device under ``vmap`` + ``jit``:
+
+    out[y, x] = img[(crop_top + y + 0.5)/s - 0.5, (crop_left + x + 0.5)/s - 0.5]
+
+with bilinear taps for images (PIL BILINEAR), nearest for labels (NEAREST,
+ext_transforms.py:111 & 137), and zero fill outside the source — matching
+ExtRandomCrop's pad fill of 0 for both image and label
+(ext_transforms.py:380-388, torchvision F.pad default).
+
+Semantics preserved:
+  - scale ~ U(0.5, 2.0) (ExtRandomScale, :94-115)
+  - crop offset ~ U{0 .. scaled-th} when larger, centered pad when smaller
+    (ExtRandomCrop(pad_if_needed=True), :327-396)
+  - hflip with p=0.5 (ExtRandomHorizontalFlip, :212-233)
+  - ToTensor /255 + ImageNet normalize (:273-324)
+
+The "available but unused" reference transforms (center crop, fixed scale,
+vflip, pad-to-multiple, resize; ext_transforms.py:67-271,399-427) are
+provided as pure functions below for API completeness.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+class AugmentConfig(NamedTuple):
+    crop_size: int = 513
+    scale_min: float = 0.5
+    scale_max: float = 2.0
+    hflip_prob: float = 0.5
+    mean: Tuple[float, ...] = IMAGENET_MEAN
+    std: Tuple[float, ...] = IMAGENET_STD
+
+
+# --------------------------------------------------------------- sampling
+def _grid_sample_bilinear(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
+    """Sample HWC image at float coords (out-of-bounds -> 0), bilinear taps."""
+    h, w = img.shape[0], img.shape[1]
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = (ys - y0)[..., None]
+    wx = (xs - x0)[..., None]
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        v = img[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+        return jnp.where(valid[..., None], v, 0.0)
+
+    v00 = tap(y0i, x0i)
+    v01 = tap(y0i, x0i + 1)
+    v10 = tap(y0i + 1, x0i)
+    v11 = tap(y0i + 1, x0i + 1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def _grid_sample_nearest(lbl: jax.Array, ys: jax.Array, xs: jax.Array, fill) -> jax.Array:
+    """Sample HW integer label at float coords with nearest taps."""
+    h, w = lbl.shape[0], lbl.shape[1]
+    yi = jnp.round(ys).astype(jnp.int32)
+    xi = jnp.round(xs).astype(jnp.int32)
+    valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+    v = lbl[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+    return jnp.where(valid, v, fill)
+
+
+# --------------------------------------------------------- train pipeline
+def augment_sample(
+    key: jax.Array,
+    image: jax.Array,  # [H, W, C] float in [0, 1] (post /255)
+    label: jax.Array,  # [H, W] int
+    cfg: AugmentConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Random scale + crop(pad) + hflip + normalize for one sample."""
+    th = tw = cfg.crop_size
+    h, w = image.shape[0], image.shape[1]
+    k_scale, k_top, k_left, k_flip = jax.random.split(key, 4)
+
+    scale = jax.random.uniform(k_scale, (), minval=cfg.scale_min, maxval=cfg.scale_max)
+    # Integer scaled dims, as PIL computes them (int(h*s); ext_transforms.py:110)
+    sh = jnp.floor(h * scale).astype(jnp.int32)
+    sw = jnp.floor(w * scale).astype(jnp.int32)
+    eff_sy = sh.astype(jnp.float32) / h  # effective per-axis scale after int floor
+    eff_sx = sw.astype(jnp.float32) / w
+
+    def offset(k, scaled, target):
+        # larger: U{0..scaled-target}; smaller: centered negative offset
+        # (pad_if_needed centers via symmetric pad, ext_transforms.py:380-388)
+        big = jax.random.randint(k, (), 0, jnp.maximum(scaled - target, 0) + 1)
+        small = (scaled - target) // 2
+        return jnp.where(scaled >= target, big, small).astype(jnp.float32)
+
+    top = offset(k_top, sh, th)
+    left = offset(k_left, sw, tw)
+
+    oy = jnp.arange(th, dtype=jnp.float32)
+    ox = jnp.arange(tw, dtype=jnp.float32)
+    # map output pixel center -> scaled-space -> source space (half-pixel)
+    src_y = (top + oy[:, None] + 0.5) / eff_sy - 0.5
+    src_x = (left + ox[None, :] + 0.5) / eff_sx - 0.5
+    src_y = jnp.broadcast_to(src_y, (th, tw))
+    src_x = jnp.broadcast_to(src_x, (th, tw))
+
+    out_img = _grid_sample_bilinear(image.astype(jnp.float32), src_y, src_x)
+    out_lbl = _grid_sample_nearest(label, src_y, src_x, fill=jnp.zeros((), label.dtype))
+
+    flip = jax.random.uniform(k_flip) < cfg.hflip_prob
+    out_img = jnp.where(flip, out_img[:, ::-1, :], out_img)
+    out_lbl = jnp.where(flip, out_lbl[:, ::-1], out_lbl)
+
+    out_img = normalize(out_img, cfg.mean, cfg.std)
+    return out_img, out_lbl
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def augment_batch(
+    key: jax.Array,
+    images: jax.Array,  # [B, H, W, C] float [0,1] or uint8
+    labels: jax.Array,  # [B, H, W] int
+    cfg: AugmentConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """vmap the per-sample augmentation over the batch (device-resident)."""
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
+    keys = jax.random.split(key, images.shape[0])
+    return jax.vmap(lambda k, i, l: augment_sample(k, i, l, cfg))(keys, images, labels)
+
+
+# ---------------------------------------------------------- val / predict
+def normalize(
+    image: jax.Array,
+    mean: Sequence[float] = IMAGENET_MEAN,
+    std: Sequence[float] = IMAGENET_STD,
+) -> jax.Array:
+    """(x - mean) / std per channel (ExtNormalize, ext_transforms.py:298-324)."""
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    return (image.astype(jnp.float32) - mean) / std
+
+
+def denormalize(
+    image: jax.Array,
+    mean: Sequence[float] = IMAGENET_MEAN,
+    std: Sequence[float] = IMAGENET_STD,
+) -> jax.Array:
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    return image * std + mean
+
+
+def val_transform_batch(images: jax.Array, cfg: Optional[AugmentConfig] = None):
+    """ToTensor + Normalize only (reference train.py:364-368)."""
+    cfg = cfg or AugmentConfig()
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
+    return normalize(images, cfg.mean, cfg.std)
+
+
+# ------------------------------------- API-completeness paired transforms
+def center_crop(image: jax.Array, label: jax.Array, size: int):
+    """ExtCenterCrop (ext_transforms.py:67-91)."""
+    h, w = image.shape[0], image.shape[1]
+    top = (h - size) // 2
+    left = (w - size) // 2
+    return (
+        jax.lax.dynamic_slice(image, (top, left, 0), (size, size, image.shape[2])),
+        jax.lax.dynamic_slice(label, (top, left), (size, size)),
+    )
+
+
+def fixed_scale(image: jax.Array, label: jax.Array, scale: float):
+    """ExtScale (ext_transforms.py:117-144): fixed scale, bilinear/nearest."""
+    h, w = int(image.shape[0] * scale), int(image.shape[1] * scale)
+    img = jax.image.resize(image, (h, w, image.shape[2]), "bilinear")
+    lbl = jax.image.resize(label, (h, w), "nearest")
+    return img, lbl
+
+
+def random_vflip(key: jax.Array, image: jax.Array, label: jax.Array, p: float = 0.5):
+    """ExtRandomVerticalFlip (ext_transforms.py:236-259)."""
+    flip = jax.random.uniform(key) < p
+    return (
+        jnp.where(flip, image[::-1, :, :], image),
+        jnp.where(flip, label[::-1, :], label),
+    )
+
+
+def pad_to_multiple(image: jax.Array, label: jax.Array, multiple: int = 32):
+    """ExtPad (ext_transforms.py:261-271): right/bottom-pad to a multiple."""
+    h, w = image.shape[0], image.shape[1]
+    ph = (multiple - h % multiple) % multiple
+    pw = (multiple - w % multiple) % multiple
+    img = jnp.pad(image, ((0, ph), (0, pw), (0, 0)))
+    lbl = jnp.pad(label, ((0, ph), (0, pw)))
+    return img, lbl
+
+
+def paired_resize(image: jax.Array, label: jax.Array, size: Tuple[int, int]):
+    """ExtResize (ext_transforms.py:399-427)."""
+    img = jax.image.resize(image, (*size, image.shape[2]), "bilinear")
+    lbl = jax.image.resize(label, size, "nearest")
+    return img, lbl
+
+
+def color_jitter(
+    key: jax.Array,
+    image: jax.Array,
+    brightness: float = 0.0,
+    contrast: float = 0.0,
+    saturation: float = 0.0,
+):
+    """ExtColorJitter subset (ext_transforms.py:429-519): brightness/contrast/
+    saturation jitter with torchvision factor semantics, random order omitted."""
+    k_b, k_c, k_s = jax.random.split(key, 3)
+    img = image.astype(jnp.float32)
+    if brightness > 0:
+        f = jax.random.uniform(k_b, (), minval=max(0, 1 - brightness), maxval=1 + brightness)
+        img = img * f
+    if contrast > 0:
+        f = jax.random.uniform(k_c, (), minval=max(0, 1 - contrast), maxval=1 + contrast)
+        gray = (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]).mean()
+        img = gray + (img - gray) * f
+    if saturation > 0:
+        f = jax.random.uniform(k_s, (), minval=max(0, 1 - saturation), maxval=1 + saturation)
+        gray = (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])[..., None]
+        img = gray + (img - gray) * f
+    return jnp.clip(img, 0.0, 1.0)

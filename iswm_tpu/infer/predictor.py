@@ -1,0 +1,135 @@
+"""Batch inference driver: checkpoint -> per-image products on disk.
+
+Replaces the reference's predict.py main path (reference
+predict.py:258-368): loads the best checkpoint, walks an input directory
+(top level + one level of subdirectories, predict.py:300-312), and writes
+``{name}_predict.png`` (+ optional ``_confidence.png``,
+``_binary_mask.png``) per image.  Large scenes route through the batched
+sliding-window TileEngine instead of the reference's single whole-image
+forward.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.datasets import IMG_EXTENSIONS, decode_target
+from ..data.transforms import val_transform_batch
+from ..models import build_model
+from ..train import checkpoint as ckpt_lib
+from ..train.optim import make_optimizer
+from ..train.step import create_train_state
+from .products import binarize_confidence_map, confidence_map, prob_to_mask
+from .tiling import TileEngine
+
+
+class Predictor:
+    def __init__(self, cfg: Config, ckpt_path: Optional[str] = None):
+        cfg.validate()
+        self.cfg = cfg
+        self.model = build_model(cfg.model)
+
+        # materialize a state template, then restore weights into it
+        tx, _ = make_optimizer(cfg.optim, total_itrs=1)
+        sample = jnp.zeros((1, 64, 64, cfg.model.in_channels), cfg.model.compute_dtype)
+        state = create_train_state(self.model, tx, jax.random.key(0), sample)
+        if ckpt_path:
+            state, _ = ckpt_lib.restore(ckpt_path, state)
+        self.params = state.params
+        self.batch_stats = state.batch_stats
+
+        def model_fn(images):  # [N,T,T,C] normalized -> [N,T,T,K]
+            return self.model.apply(
+                {"params": self.params, "batch_stats": self.batch_stats},
+                images.astype(cfg.model.compute_dtype),
+                train=False,
+            ).astype(jnp.float32)
+
+        self.engine = TileEngine(
+            model_fn,
+            tile=cfg.predict.tile_size,
+            overlap=cfg.predict.tile_overlap,
+            batch=cfg.predict.tile_batch,
+            num_classes=cfg.model.num_classes,
+        )
+
+    # ------------------------------------------------------------- single
+    def predict_image(self, image: np.ndarray) -> Dict[str, np.ndarray]:
+        """uint8 [H,W,3] image -> products dict.
+
+        ``mask`` uses the predict-path semantics (fg prob > pred_threshold,
+        reference predict.py:275) unless cfg.predict.use_argmax selects the
+        validation semantics (train.py:644).
+        """
+        cfg = self.cfg.predict
+        x = val_transform_batch(jnp.asarray(image)[None])[0]
+        logits = self.engine.infer_scene(x)
+        probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+        prob_fg = probs[..., 1]
+        if cfg.use_argmax:
+            mask = np.argmax(np.asarray(logits), axis=-1).astype(np.uint8)
+        else:
+            mask = prob_to_mask(prob_fg, cfg.pred_threshold)
+        conf = confidence_map(prob_fg)
+        return {
+            "mask": mask,
+            "prob_fg": prob_fg,
+            "confidence": conf,
+            "rgb": decode_target(mask),
+        }
+
+    # ---------------------------------------------------------- directory
+    def process_images(self, input_dir: str, output_dir: str) -> int:
+        """Walk input_dir (and one level of subdirs); write products.
+        Returns the number of images processed."""
+        from PIL import Image
+
+        cfg = self.cfg.predict
+        os.makedirs(output_dir, exist_ok=True)
+
+        jobs = []
+        root = Path(input_dir)
+        for entry in sorted(root.iterdir()):
+            if entry.is_file() and entry.suffix.lower() in IMG_EXTENSIONS:
+                jobs.append((entry, Path(output_dir)))
+            elif entry.is_dir():
+                sub_out = Path(output_dir) / entry.name
+                for f in sorted(entry.iterdir()):
+                    if f.is_file() and f.suffix.lower() in IMG_EXTENSIONS:
+                        jobs.append((f, sub_out))
+
+        count = 0
+        for src, out_dir in jobs:
+            try:
+                out_dir.mkdir(parents=True, exist_ok=True)
+                with Image.open(src) as im:
+                    image = np.asarray(im.convert("RGB"), dtype=np.uint8)
+                products = self.predict_image(image)
+                stem = src.stem
+                Image.fromarray(products["rgb"]).save(out_dir / f"{stem}_predict.png")
+                if cfg.save_confidence:
+                    Image.fromarray(products["confidence"]).save(
+                        out_dir / f"{stem}_confidence.png"
+                    )
+                if cfg.save_binary:
+                    binary = binarize_confidence_map(
+                        products["confidence"],
+                        min_prob=cfg.min_prob,
+                        max_prob=cfg.max_prob,
+                        pred_mask=products["rgb"],
+                        enable_wave_processing=cfg.enable_wave_processing,
+                        synthetic_prob=cfg.synthetic_damage_prob,
+                        synthetic_ratio=cfg.synthetic_damage_ratio,
+                    )
+                    Image.fromarray(binary).save(out_dir / f"{stem}_binary_mask.png")
+                count += 1
+            except Exception as e:  # skip bad images (reference predict.py:363-364)
+                print(f"skipping {src}: {e}")
+        return count

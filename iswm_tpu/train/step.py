@@ -1,0 +1,120 @@
+"""Jitted train/eval steps.
+
+The whole reference inner loop (forward -> CE -> backward -> SGD step ->
+scheduler.step; reference train.py:1037-1049,1103) is ONE compiled XLA
+program here, optionally with the device-side augmentation fused in front
+so a raw uint8 host batch goes in and updated state comes out — no
+intermediate host round-trips.  Under a sharded jit the batch dimension
+carries a NamedSharding over the mesh's data axis; XLA inserts the
+gradient/BN all-reduces (the DataParallel replacement, SURVEY §2.8).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.transforms import AugmentConfig, augment_sample, val_transform_batch
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(
+    model,
+    tx: optax.GradientTransformation,
+    rng: jax.Array,
+    sample_input: jax.Array,
+) -> TrainState:
+    variables = model.init({"params": rng}, sample_input, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    loss_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    augment: Optional[AugmentConfig] = None,
+    donate: bool = True,
+) -> Callable:
+    """Build the fused train step.
+
+    If ``augment`` is given, the step takes raw uint8 images [B,H,W,C] +
+    int labels and runs scale/crop/flip/normalize on device first.
+    Returns ``train_step(state, images, labels, rng) -> (state, metrics)``.
+    """
+
+    def step_fn(
+        state: TrainState, images: jax.Array, labels: jax.Array, rng: jax.Array
+    ) -> Tuple[TrainState, dict]:
+        aug_rng, dropout_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        if augment is not None:
+            if images.dtype == jnp.uint8:
+                images = images.astype(jnp.float32) / 255.0
+            keys = jax.random.split(aug_rng, images.shape[0])
+            images, labels = jax.vmap(
+                lambda k, i, l: augment_sample(k, i, l, augment)
+            )(keys, images, labels)
+
+        def compute_loss(params):
+            logits, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng},
+            )
+            loss = loss_fn(logits, labels.astype(jnp.int32))
+            return loss, mutated["batch_stats"]
+
+        (loss, new_batch_stats), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+        metrics = {"loss": loss}
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, normalize_input: bool = True) -> Callable:
+    """Eval step: logits + argmax preds (validation semantics,
+    reference train.py:644) and fg softmax probability (predict semantics,
+    reference predict.py:275) in one dispatch."""
+
+    def eval_fn(params, batch_stats, images):
+        if normalize_input and images.dtype == jnp.uint8:
+            images = val_transform_batch(images)
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats}, images, train=False
+        )
+        probs = jax.nn.softmax(logits, axis=-1)
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return {"logits": logits, "probs": probs, "preds": preds}
+
+    return jax.jit(eval_fn)

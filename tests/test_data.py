@@ -1,0 +1,129 @@
+"""Data pipeline tests: synthetic fixtures, datasets, device augmentation."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from iswm_tpu.data import (
+    AugmentConfig,
+    BinarySegmentation,
+    EvaluationDataset,
+    augment_batch,
+    batch_iterator,
+    calculate_class_weights,
+    decode_target,
+    denormalize,
+    generate_scene,
+    normalize,
+    val_transform_batch,
+    write_dataset,
+)
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    write_dataset(str(root), n_train=6, n_val=4, size=(64, 64), seed=1)
+    return str(root)
+
+
+def test_generate_scene_statistics():
+    rng = np.random.default_rng(0)
+    waves = 0
+    for _ in range(20):
+        img, mask = generate_scene(rng, size=(64, 64))
+        assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+        assert mask.shape == (64, 64) and set(np.unique(mask)) <= {0, 1}
+        waves += mask.any()
+    assert 8 <= waves <= 20  # wave_probability 0.8
+
+
+def test_binary_segmentation_contract(dataset_root):
+    ds = BinarySegmentation(dataset_root, split="train")
+    assert len(ds) == 6
+    assert ds.images == sorted(ds.images)  # filename == timestamp order
+    img, lbl = ds[0]
+    assert img.shape == (64, 64, 3) and lbl.shape == (64, 64)
+    assert set(np.unique(lbl)) <= {0, 1}
+    rgb = BinarySegmentation.decode_target(lbl)
+    assert rgb.shape == (64, 64, 3)
+    assert np.array_equal(np.unique(rgb), np.unique(lbl) * 255)
+
+
+def test_evaluation_dataset_4tuple(dataset_root):
+    ds = EvaluationDataset(dataset_root, split="val")
+    out, label, name, raw = ds[0]
+    assert out.shape == raw.shape == (64, 64, 3)
+    assert name.endswith(".png")
+
+
+def test_batch_iterator_shapes(dataset_root):
+    ds = BinarySegmentation(dataset_root, split="train")
+    it = batch_iterator(ds, 4, shuffle=True, drop_last=True, epochs=1)
+    batches = list(it)
+    assert len(batches) == 1  # 6 samples, drop_last
+    imgs, lbls = batches[0]
+    assert imgs.shape == (4, 64, 64, 3) and lbls.shape == (4, 64, 64)
+
+
+def test_augment_batch_static_shapes_and_labels():
+    rng = np.random.default_rng(2)
+    imgs = rng.integers(0, 255, (4, 48, 48, 3), dtype=np.uint8)
+    lbls = (rng.random((4, 48, 48)) > 0.8).astype(np.int32)
+    cfg = AugmentConfig(crop_size=32)
+    out_i, out_l = augment_batch(jax.random.key(0), jnp.asarray(imgs), jnp.asarray(lbls), cfg)
+    assert out_i.shape == (4, 32, 32, 3)
+    assert out_l.shape == (4, 32, 32)
+    assert set(np.unique(np.asarray(out_l))) <= {0, 1}  # nearest keeps label set
+    assert np.isfinite(np.asarray(out_i)).all()
+
+
+def test_augment_scale_identity_is_crop():
+    # scale fixed to 1.0, no flip -> output is exactly a crop of normalize(img)
+    imgs = np.arange(1 * 16 * 16 * 3, dtype=np.uint8).reshape(1, 16, 16, 3) % 255
+    lbls = np.zeros((1, 16, 16), np.int32)
+    cfg = AugmentConfig(crop_size=8, scale_min=1.0, scale_max=1.0, hflip_prob=0.0)
+    out_i, _ = augment_batch(jax.random.key(1), jnp.asarray(imgs), jnp.asarray(lbls), cfg)
+    full = normalize(jnp.asarray(imgs[0]).astype(jnp.float32) / 255.0)
+    # find the crop offset by matching the first row/col value
+    found = False
+    for top in range(9):
+        for left in range(9):
+            if np.allclose(np.asarray(out_i[0]), np.asarray(full[top : top + 8, left : left + 8]), atol=1e-5):
+                found = True
+    assert found
+
+
+def test_augment_pad_when_scaled_smaller():
+    # scale 0.5 of 16 -> 8 < crop 12: centered pad with zeros (both img & lbl)
+    imgs = np.full((1, 16, 16, 3), 255, np.uint8)
+    lbls = np.ones((1, 16, 16), np.int32)
+    cfg = AugmentConfig(crop_size=12, scale_min=0.5, scale_max=0.5, hflip_prob=0.0)
+    out_i, out_l = augment_batch(jax.random.key(2), jnp.asarray(imgs), jnp.asarray(lbls), cfg)
+    lbl = np.asarray(out_l[0])
+    # PIL pads int((1+12-8)/2)=2 on each side -> content occupies rows/cols 2..9
+    assert lbl[:2].sum() == 0 and lbl[-2:].sum() == 0
+    assert lbl[2:10, 2:10].all()
+
+
+def test_val_transform_and_denormalize_roundtrip():
+    imgs = np.random.default_rng(3).integers(0, 255, (2, 8, 8, 3), dtype=np.uint8)
+    out = val_transform_batch(jnp.asarray(imgs))
+    back = denormalize(out)
+    np.testing.assert_allclose(np.asarray(back), imgs / 255.0, atol=1e-5)
+
+
+def test_class_weights():
+    # 3/4 background, 1/4 foreground -> w1 = sqrt(3)
+    lbls = np.zeros((1, 4, 4), np.int32)
+    lbls[0, :2, :2] = 1
+    w = calculate_class_weights([lbls])
+    assert w[0] == 1.0
+    assert w[1] == pytest.approx(np.sqrt(3), abs=1e-6)
+
+
+def test_class_weights_ignores_255():
+    lbls = np.full((1, 2, 2), 255, np.int32)
+    w = calculate_class_weights([lbls])
+    assert w.tolist() == [1.0, 1.0]

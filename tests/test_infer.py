@@ -1,0 +1,150 @@
+"""Inference engine tests: tiling correctness, products semantics, predictor."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from iswm_tpu.infer import (
+    TileEngine,
+    binarize_confidence_map,
+    confidence_map,
+    generate_synthetic_broken_areas,
+    has_internal_wave,
+    prob_to_mask,
+    tile_origins,
+)
+from iswm_tpu.infer.tiling import _blend_window
+
+
+# ------------------------------------------------------------------ tiling
+def test_tile_origins_cover_flush():
+    o = tile_origins(100, 40, 30)
+    assert o.tolist() == [0, 30, 60]  # 60+40 = 100 flush
+    assert tile_origins(40, 40, 30).tolist() == [0]
+    assert tile_origins(30, 40, 30).tolist() == [0]
+
+
+def test_blend_window_positive_interior_one():
+    w = _blend_window(32, 8)
+    assert w.shape == (32, 32)
+    assert np.all(w > 0)
+    assert w[16, 16] == pytest.approx(1.0)
+
+
+def test_tile_engine_matches_direct_for_linear_model():
+    # For a pixelwise (linear) model, tiled+blended == direct application.
+    def model_fn(x):  # [N,T,T,C] -> [N,T,T,2]
+        return jnp.stack([x[..., 0], 1.0 - x[..., 0]], axis=-1)
+
+    engine = TileEngine(model_fn, tile=16, overlap=4, batch=2, num_classes=2)
+    scene = jnp.asarray(np.random.default_rng(0).random((40, 56, 3)), jnp.float32)
+    out = np.asarray(engine.infer_scene(scene))
+    expected = np.stack([np.asarray(scene[..., 0]), 1 - np.asarray(scene[..., 0])], -1)
+    np.testing.assert_allclose(out, expected, atol=1e-5)
+
+
+def test_tile_engine_small_scene_pads():
+    def model_fn(x):
+        return jnp.stack([x[..., 0], -x[..., 0]], axis=-1)
+
+    engine = TileEngine(model_fn, tile=32, overlap=8, batch=1, num_classes=2)
+    scene = jnp.asarray(np.random.default_rng(1).random((20, 24, 3)), jnp.float32)
+    out = np.asarray(engine.infer_scene(scene))
+    assert out.shape == (20, 24, 2)
+    np.testing.assert_allclose(out[..., 0], np.asarray(scene[..., 0]), atol=1e-5)
+
+
+# ---------------------------------------------------------------- products
+def test_prob_to_mask_and_confidence():
+    p = np.array([[0.2, 0.6], [0.5, 0.9]])
+    assert prob_to_mask(p, 0.5).tolist() == [[0, 1], [0, 1]]
+    c = confidence_map(p)
+    assert c.dtype == np.uint8
+    assert c[1, 1] == 229  # 0.9*255 truncated
+
+
+def test_has_internal_wave_rgb_and_gray():
+    rgb = np.zeros((50, 50, 3), np.uint8)
+    rgb[:10, :10] = 255  # 4% of area > 1%
+    assert has_internal_wave(rgb)
+    gray = np.zeros((50, 50), np.uint8)
+    gray[0, 0] = 255  # 0.04% < 1%
+    assert not has_internal_wave(gray)
+
+
+def test_binarize_confidence_band():
+    conf = np.array([[0, 60, 128], [170, 200, 255]], np.uint8)
+    out = binarize_confidence_map(conf, min_prob=0.2, max_prob=0.7)
+    # 60/255=.235, 128/255=.502, 170/255=.667 in band; 0, 200/255=.78, 255 out
+    assert out.tolist() == [[0, 255, 255], [255, 0, 0]]
+
+
+def test_synthetic_damage_reaches_ratio():
+    import random
+
+    for style in ("linear", "random_structures", "blob"):
+        m = generate_synthetic_broken_areas(
+            (100, 100), style=style, ratio=0.05, rng=random.Random(3)
+        )
+        assert m.shape == (100, 100)
+        # noise fill samples with replacement (as the reference does), so the
+        # target ratio is approached, not exact
+        assert (m > 0).sum() >= 0.05 * 100 * 100 * 0.9
+
+
+def test_binarize_adds_synthetic_for_no_wave():
+    import random
+
+    conf = np.zeros((60, 60), np.uint8)  # nothing in band
+    pred = np.zeros((60, 60, 3), np.uint8)  # no wave
+    out = binarize_confidence_map(
+        conf,
+        pred_mask=pred,
+        enable_wave_processing=True,
+        synthetic_prob=1.0,
+        rng=random.Random(5),
+    )
+    assert (out > 0).sum() > 0
+
+
+# --------------------------------------------------------------- predictor
+def test_predictor_end_to_end(tmp_path):
+    from PIL import Image
+
+    from iswm_tpu.config import Config
+    from iswm_tpu.infer import Predictor
+
+    cfg = Config()
+    cfg.model.backbone = "resnet18"
+    cfg.model.compute_dtype = "float32"
+    cfg.predict.tile_size = 32
+    cfg.predict.tile_overlap = 8
+    cfg.predict.tile_batch = 2
+    cfg.predict.save_confidence = True
+    cfg.predict.save_binary = True
+
+    # input tree with a subdirectory level
+    in_dir = tmp_path / "in"
+    (in_dir / "sub").mkdir(parents=True)
+    img = np.random.default_rng(0).integers(0, 255, (40, 40, 3), dtype=np.uint8)
+    Image.fromarray(img).save(in_dir / "a.png")
+    Image.fromarray(img).save(in_dir / "sub" / "b.png")
+
+    predictor = Predictor(cfg, ckpt_path=None)
+    n = predictor.process_images(str(in_dir), str(tmp_path / "out"))
+    assert n == 2
+    assert (tmp_path / "out" / "a_predict.png").exists()
+    assert (tmp_path / "out" / "a_confidence.png").exists()
+    assert (tmp_path / "out" / "a_binary_mask.png").exists()
+    assert (tmp_path / "out" / "sub" / "b_predict.png").exists()
+
+    products = predictor.predict_image(img)
+    assert products["mask"].shape == (40, 40)
+    assert products["prob_fg"].shape == (40, 40)
+    # threshold vs argmax semantics both available
+    cfg.predict.use_argmax = True
+    products2 = predictor.predict_image(img)
+    assert products2["mask"].shape == (40, 40)
