@@ -58,14 +58,21 @@ def build(batch: int, size: int, backbone: str = "resnet50"):
 
 
 def time_loop(fn, steps: int) -> float:
-    """Median-of-3 timing of `steps` dispatches, blocking on the last."""
+    """Median-of-3 timing of `steps` dependent dispatches.
+
+    The timed region ends with an explicit host fetch of the final output —
+    on remote/async backends (axon tunnel) ``block_until_ready`` alone has
+    been observed to return before execution completes, producing
+    physically impossible throughput numbers; a device->host scalar fetch
+    is the only honest clock.
+    """
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         out = None
         for _ in range(steps):
             out = fn()
-        jax.block_until_ready(out)
+        np.asarray(jax.tree.leaves(out)[0]).ravel()[0]  # force host fetch
         times.append((time.perf_counter() - t0) / steps)
     return float(np.median(times))
 
@@ -75,7 +82,7 @@ def main() -> int:
     ap.add_argument("--smoke", action="store_true", help="tiny shapes, quick check")
     ap.add_argument("--batch", type=int, default=0, help="0 = auto (try 16,8,4)")
     ap.add_argument("--size", type=int, default=512)
-    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--backbone", default="resnet50")
     args = ap.parse_args()
 
@@ -83,7 +90,7 @@ def main() -> int:
         args.size, args.steps = 128, 3
         batches = [4]
     else:
-        batches = [args.batch] if args.batch else [16, 8, 4]
+        batches = [args.batch] if args.batch else [8, 4]
 
     dev = jax.devices()[0]
     state = train_step = None
@@ -125,6 +132,10 @@ def main() -> int:
     t_infer = time_loop(infer_once, args.steps)
     infer_tps = batch / t_infer
 
+    # plausibility: ~100 GFLOP fwd per 512x512 resnet50+v3+ tile, 3x for train
+    fwd_gflops_per_tile = 100.0 * (args.size / 512) ** 2
+    implied_tflops = 3 * fwd_gflops_per_tile * train_tps / 1e3
+
     result = {
         "metric": f"{args.size}x{args.size} train tiles/sec/chip (deeplabv3plus_{args.backbone} bf16)",
         "value": round(train_tps, 2),
@@ -134,7 +145,10 @@ def main() -> int:
         "batch": batch,
         "device": str(dev),
         "step_ms": round(t_train * 1e3, 2),
+        "implied_tflops": round(implied_tflops, 1),
     }
+    if implied_tflops > 250:  # v5e peak is ~197 bf16 TFLOP/s
+        result["warning"] = "implied FLOPs exceed hardware peak; timing suspect"
     print(json.dumps(result))
     return 0
 

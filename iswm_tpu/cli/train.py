@@ -1,0 +1,143 @@
+"""Training CLI — reference-flag parity.
+
+Accepts the reference's consumed argparse surface (reference
+train.py:272-351) so shell scripts written against the reference work with
+``python -m iswm_tpu.cli.train`` unchanged; dead reference flags
+(--test_only, --step_size, --training_stage, --separable_conv-as-noop) are
+either functional here (--separable_conv actually wires the separable
+variant) or accepted-and-ignored with a warning.  A ``--config`` YAML can
+set everything; explicit flags win.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..config import Config
+
+
+def get_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="ISWM-TPU training")
+    p.add_argument("--config", type=str, default=None, help="YAML config path")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a JAX platform (e.g. cpu, tpu)")
+
+    # data
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--dataset", type=str, default=None)
+    p.add_argument("--num_classes", type=int, default=None)
+    p.add_argument("--crop_size", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--val_batch_size", type=int, default=None)
+    p.add_argument("--synthetic", action="store_true", help="use synthetic fixtures")
+
+    # model
+    p.add_argument("--model", type=str, default=None,
+                   help="factory name, e.g. deeplabv3plus_resnet50")
+    p.add_argument("--output_stride", type=int, default=None, choices=[8, 16])
+    p.add_argument("--separable_conv", action="store_true",
+                   help="use atrous separable convs in the head (functional here)")
+
+    # optimization
+    p.add_argument("--total_itrs", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--optimizer", type=str, default=None,
+                   choices=["sgd", "adam", "adamw"])
+    p.add_argument("--weight_decay", type=float, default=None)
+    p.add_argument("--lr_schedule", type=str, default=None,
+                   choices=["cosine", "poly"])
+    p.add_argument("--loss_type", type=str, default=None,
+                   choices=["ce_loss", "IWce_loss", "focal_loss"])
+
+    # loop control
+    p.add_argument("--random_seed", type=int, default=None)
+    p.add_argument("--print_interval", type=int, default=None)
+    p.add_argument("--val_interval", type=int, default=None)
+    p.add_argument("--sequence_length", type=int, default=None)
+
+    # checkpoints / outputs
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--continue_training", action="store_true")
+    p.add_argument("--checkpoints_dir", type=str, default=None)
+    p.add_argument("--val_results_dir", type=str, default=None)
+    p.add_argument("--metrics_plots_dir", type=str, default=None)
+    p.add_argument("--save_confidence_map", action="store_true")
+    p.add_argument("--enable_mlflow", action="store_true")
+
+    # accepted for reference-script compatibility; non-functional there too
+    p.add_argument("--test_only", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--step_size", type=int, default=None, help=argparse.SUPPRESS)
+    p.add_argument("--training_stage", type=str, default=None, help=argparse.SUPPRESS)
+    p.add_argument("--gpu_id", type=str, default=None, help=argparse.SUPPRESS)
+    p.add_argument("--enable_vis", action="store_true", help=argparse.SUPPRESS)
+    return p
+
+
+def build_config(args: argparse.Namespace) -> Config:
+    cfg = Config.from_yaml(args.config) if args.config else Config()
+
+    if args.model:
+        head, _, backbone = args.model.partition("_")
+        cfg.model.name = head
+        cfg.model.backbone = "mobilenetv2" if backbone == "mobilenet" else backbone
+    for flag, path in (
+        ("data_root", ("data", "data_root")),
+        ("dataset", ("data", "dataset")),
+        ("crop_size", ("data", "crop_size")),
+        ("batch_size", ("data", "batch_size")),
+        ("val_batch_size", ("data", "val_batch_size")),
+        ("num_classes", ("model", "num_classes")),
+        ("output_stride", ("model", "output_stride")),
+        ("total_itrs", ("train", "total_itrs")),
+        ("lr", ("optim", "lr")),
+        ("optimizer", ("optim", "optimizer")),
+        ("weight_decay", ("optim", "weight_decay")),
+        ("lr_schedule", ("optim", "schedule")),
+        ("loss_type", ("loss", "loss_type")),
+        ("random_seed", ("train", "random_seed")),
+        ("print_interval", ("train", "print_interval")),
+        ("val_interval", ("train", "val_interval")),
+        ("sequence_length", ("metrics", "sequence_length")),
+        ("ckpt", ("train", "ckpt")),
+        ("checkpoints_dir", ("train", "checkpoints_dir")),
+        ("val_results_dir", ("train", "val_results_dir")),
+        ("metrics_plots_dir", ("train", "metrics_plots_dir")),
+    ):
+        v = getattr(args, flag)
+        if v is not None:
+            setattr(getattr(cfg, path[0]), path[1], v)
+
+    if args.synthetic:
+        cfg.data.synthetic = True
+    if args.separable_conv:
+        cfg.model.separable_conv = True
+    if args.continue_training:
+        cfg.train.continue_training = True
+    if args.save_confidence_map:
+        cfg.train.save_confidence_map = True
+    if args.enable_mlflow:
+        cfg.train.use_mlflow = True
+    for dead in ("test_only", "step_size", "training_stage", "gpu_id", "enable_vis"):
+        if getattr(args, dead, None):
+            print(f"note: --{dead} is accepted for compatibility but has no effect")
+    return cfg.validate()
+
+
+def main(argv=None) -> int:
+    args = get_argparser().parse_args(argv)
+    cfg = build_config(args)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    from ..train import Trainer  # deferred: jax import is heavy
+
+    trainer = Trainer(cfg)
+    result = trainer.fit()
+    print(f"done: best weighted score {result['best_weighted_score']:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -66,7 +66,7 @@ class BinarySegmentation:
         self.split = split
         self.transform = transform  # host-side paired callable, optional
 
-        base = Path(root) / split
+        base = Path(root) if split in ("", ".") else Path(root) / split
         if not (base / "imgs").is_dir():
             # also accept a flat root (root/imgs) for split-less trees
             if (Path(root) / "imgs").is_dir():

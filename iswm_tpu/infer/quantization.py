@@ -1,0 +1,265 @@
+"""Quantized serving: bf16 / int8-weight variants + parity harness.
+
+TPU-native replacement for the reference's torch-fbgemm PTQ pipeline
+(reference evaluate_quantization.py:112-154) and its FP32-vs-INT8 report
+(:187-354), plus the tiered logit-agreement diagnostic of
+tensorrt_tools/quick_diagnostic.py:98-217.
+
+On TPU there is no fbgemm/TensorRT engine: bf16 is the native serving
+dtype, and int8 is weight-only per-output-channel symmetric quantization
+(the 4x size reduction the reference's PTQ advertises,
+evaluate_quantization.py:240) with on-the-fly dequant feeding the MXU.
+The harness reports the same table columns: avg latency ms / model size
+MB / MIoU / FIoU / FF1 and their deltas.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..metrics import StreamMetrics
+
+# Tiers from the reference diagnostic (quick_diagnostic.py verdict bands).
+DIFF_TIERS = (
+    (1e-5, "excellent: outputs numerically identical"),
+    (1e-3, "good: differences within expected low-precision tolerance"),
+    (1e-1, "warning: noticeable divergence — inspect calibration"),
+    (float("inf"), "broken: outputs disagree materially"),
+)
+
+
+def logit_diff_verdict(a: np.ndarray, b: np.ndarray) -> Tuple[float, str]:
+    """Normalized max logit difference -> (value, tiered verdict).
+
+    The reference diagnostic compares same-precision engines with absolute
+    tiers (quick_diagnostic.py); here variants differ in precision by
+    design, so the difference is normalized by the reference's logit
+    magnitude (floor 1.0) before applying the tiers.
+    """
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    scale = max(1.0, float(np.max(np.abs(a))))
+    diff = float(np.max(np.abs(a - b))) / scale
+    for bound, verdict in DIFF_TIERS:
+        if diff < bound:
+            return diff, verdict
+    return diff, DIFF_TIERS[-1][1]
+
+
+# ----------------------------------------------------------- int8 weights
+def _is_conv_kernel(path: Tuple[str, ...], leaf: jax.Array) -> bool:
+    return leaf.ndim == 4 and path[-1] == "kernel"
+
+
+def quantize_params_int8(params: Any) -> Tuple[Any, Any]:
+    """Per-output-channel symmetric int8 for conv kernels (HWIO -> scale per
+    O).  Returns (quantized tree with int8 kernels, scales tree)."""
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+
+    q_leaves = []
+    s_leaves = []
+    for path, leaf in flat:
+        keys = tuple(getattr(p, "key", str(p)) for p in path)
+        if _is_conv_kernel(keys, leaf):
+            w = np.asarray(leaf, np.float32)
+            amax = np.max(np.abs(w), axis=(0, 1, 2), keepdims=True)
+            scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+            q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+            q_leaves.append(jnp.asarray(q))
+            s_leaves.append(jnp.asarray(scale))
+        else:
+            q_leaves.append(leaf)
+            s_leaves.append(None)
+    return (
+        jax.tree_util.tree_unflatten(treedef, q_leaves),
+        jax.tree_util.tree_unflatten(treedef, s_leaves),
+    )
+
+
+def dequantize_params(q_params: Any, scales: Any, dtype=jnp.bfloat16) -> Any:
+    """int8 kernels * scales -> compute dtype (on device, fused by XLA)."""
+
+    def deq(q, s):
+        if s is None:
+            return q
+        return (q.astype(jnp.float32) * s).astype(dtype)
+
+    return jax.tree.map(
+        deq, q_params, scales, is_leaf=lambda x: x is None or isinstance(x, jax.Array)
+    )
+
+
+def param_bytes(params: Any) -> int:
+    return int(
+        sum(leaf.size * leaf.dtype.itemsize for leaf in jax.tree.leaves(params))
+    )
+
+
+def cast_params(params: Any, dtype) -> Any:
+    """Cast float params to dtype (bf16 serving variant)."""
+
+    def cast(leaf):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.astype(dtype)
+        return leaf
+
+    return jax.tree.map(cast, params)
+
+
+# -------------------------------------------------------------- variants
+def make_variant_fn(model, batch_stats, params, name: str) -> Callable:
+    """Build a jitted full-precision/bf16/int8 inference fn.
+
+    name in {'f32', 'bf16', 'int8'}.  int8 stores int8 kernels in HBM and
+    dequantizes into bf16 right before each conv (weight-only PTQ).
+    """
+    if name == "f32":
+        use_params = cast_params(params, jnp.float32)
+    elif name == "bf16":
+        use_params = cast_params(params, jnp.bfloat16)
+    elif name == "int8":
+        q, s = quantize_params_int8(params)
+
+        @jax.jit
+        def int8_fn(images):
+            deq = dequantize_params(q, s, jnp.bfloat16)
+            logits = model.apply(
+                {"params": deq, "batch_stats": batch_stats}, images, train=False
+            )
+            return logits.astype(jnp.float32)
+
+        int8_fn.stored_params = q  # for size accounting
+        return int8_fn
+    else:
+        raise ValueError(f"unknown variant {name!r}")
+
+    @jax.jit
+    def fn(images):
+        logits = model.apply(
+            {"params": use_params, "batch_stats": batch_stats}, images, train=False
+        )
+        return logits.astype(jnp.float32)
+
+    fn.stored_params = use_params
+    return fn
+
+
+# ---------------------------------------------------------------- harness
+def evaluate_variant(
+    fn: Callable,
+    dataset,
+    *,
+    sequence_length: int = 7,
+    max_images: Optional[int] = None,
+) -> Dict[str, float]:
+    """Per-image latency (first excluded, reference
+    evaluate_quantization.py:261-263) + StreamMetrics over the set."""
+    metrics = StreamMetrics(2, sequence_length=sequence_length)
+    latencies = []
+    samples = []
+    n = len(dataset) if max_images is None else min(max_images, len(dataset))
+    for i in range(n):
+        image, label = dataset[i][:2]
+        x = jnp.asarray(image, jnp.float32)[None] / 255.0
+        from ..data.transforms import normalize
+
+        x = normalize(x)
+        t0 = time.perf_counter()
+        logits = fn(x)
+        jax.block_until_ready(logits)
+        dt = time.perf_counter() - t0
+        if i > 0:  # first-iteration warm-up excluded
+            latencies.append(dt)
+        pred = np.argmax(np.asarray(logits[0]), axis=-1)
+        samples.append((dataset.images[i], pred, np.asarray(label)))
+
+    samples.sort(key=lambda s: s[0])
+    if len(samples) >= sequence_length:
+        for i in range(len(samples) - sequence_length + 1):
+            window = samples[i : i + sequence_length]
+            metrics.update(
+                np.stack([s[2] for s in window]),
+                np.stack([s[1] for s in window]),
+                sequence_data=True,
+            )
+    else:
+        for _, p, g in samples:
+            metrics.update(g, p, sequence_data=False)
+
+    results = metrics.get_results()
+    return {
+        "avg_latency_ms": float(np.mean(latencies) * 1e3) if latencies else 0.0,
+        "miou": results["MIoU"],
+        "fiou": results["Foreground IoU"],
+        "ff1": results["Foreground F1"],
+        "weighted": results["Best Score"],
+    }
+
+
+def compare_variants(
+    model,
+    params,
+    batch_stats,
+    dataset,
+    variants=("f32", "int8"),
+    *,
+    sequence_length: int = 7,
+    max_images: Optional[int] = None,
+) -> Dict[str, Dict[str, float]]:
+    """The FP32-vs-quantized comparison report (reference
+    evaluate_quantization.py:301-354 table: latency / size / metric deltas)."""
+    report: Dict[str, Dict[str, float]] = {}
+    probe = None
+    for name in variants:
+        fn = make_variant_fn(model, batch_stats, params, name)
+        stats = evaluate_variant(
+            fn, dataset, sequence_length=sequence_length, max_images=max_images
+        )
+        stats["size_mb"] = param_bytes(fn.stored_params) / 1e6
+        # tiered logit agreement vs the first (reference) variant
+        image = jnp.asarray(dataset[0][0], jnp.float32)[None] / 255.0
+        from ..data.transforms import normalize
+
+        logits = np.asarray(fn(normalize(image)))
+        if probe is None:
+            probe = logits
+            stats["logit_diff"], stats["verdict"] = 0.0, "reference variant"
+        else:
+            stats["logit_diff"], stats["verdict"] = logit_diff_verdict(probe, logits)
+        report[name] = stats
+
+    base = report[variants[0]]
+    for name in variants[1:]:
+        r = report[name]
+        r["speedup"] = (
+            base["avg_latency_ms"] / r["avg_latency_ms"]
+            if r["avg_latency_ms"]
+            else 0.0
+        )
+        r["size_reduction"] = base["size_mb"] / r["size_mb"] if r["size_mb"] else 0.0
+        r["miou_delta"] = r["miou"] - base["miou"]
+        r["fiou_delta"] = r["fiou"] - base["fiou"]
+        r["ff1_delta"] = r["ff1"] - base["ff1"]
+    return report
+
+
+def format_report(report: Dict[str, Dict[str, float]]) -> str:
+    lines = [
+        f"{'variant':<8}{'lat ms':>9}{'size MB':>10}{'MIoU':>8}{'FIoU':>8}"
+        f"{'FF1':>8}{'dMIoU':>8}{'speedup':>9}  verdict"
+    ]
+    for name, r in report.items():
+        lines.append(
+            f"{name:<8}{r['avg_latency_ms']:>9.2f}{r['size_mb']:>10.2f}"
+            f"{r['miou']:>8.4f}{r['fiou']:>8.4f}{r['ff1']:>8.4f}"
+            f"{r.get('miou_delta', 0.0):>8.4f}{r.get('speedup', 1.0):>9.2f}"
+            f"  {r.get('verdict', '')}"
+        )
+    return "\n".join(lines)

@@ -36,7 +36,11 @@ def create_train_state(
     rng: jax.Array,
     sample_input: jax.Array,
 ) -> TrainState:
-    variables = model.init({"params": rng}, sample_input, train=False)
+    # jit the init: eager op-by-op init is pathologically slow on remote
+    # backends (hundreds of dispatches), and jit compiles it into one program
+    variables = jax.jit(partial(model.init, train=False))(
+        {"params": rng}, sample_input
+    )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(

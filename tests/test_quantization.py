@@ -1,0 +1,86 @@
+"""Quantization subsystem tests: int8 round-trip, size, report, verdict tiers."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from iswm_tpu.config import ModelConfig
+from iswm_tpu.infer.quantization import (
+    cast_params,
+    compare_variants,
+    dequantize_params,
+    format_report,
+    logit_diff_verdict,
+    make_variant_fn,
+    param_bytes,
+    quantize_params_int8,
+)
+from iswm_tpu.models import build_model
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    cfg = ModelConfig(backbone="resnet18", compute_dtype="float32")
+    model = build_model(cfg)
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+    return model, variables["params"], variables["batch_stats"]
+
+
+def test_verdict_tiers():
+    a = np.zeros((4, 4))
+    assert logit_diff_verdict(a, a)[1].startswith("excellent")
+    assert logit_diff_verdict(a, a + 1e-4)[1].startswith("good")
+    assert logit_diff_verdict(a, a + 1e-2)[1].startswith("warning")
+    assert logit_diff_verdict(a, a + 1.0)[1].startswith("broken")
+
+
+def test_int8_quantization_roundtrip(small_model):
+    _, params, _ = small_model
+    q, s = quantize_params_int8(params)
+    # conv kernels became int8
+    kernels = [l for l in jax.tree.leaves(q) if l.dtype == jnp.int8]
+    assert kernels, "no kernels quantized"
+    # ~4x size reduction on the conv-kernel-dominated tree
+    assert param_bytes(q) < 0.35 * param_bytes(cast_params(params, jnp.float32))
+    # dequantized weights close to the originals (per-channel 8-bit)
+    deq = dequantize_params(q, s, jnp.float32)
+    for orig, back in zip(jax.tree.leaves(params), jax.tree.leaves(deq)):
+        if orig.ndim == 4:
+            amax = float(jnp.max(jnp.abs(orig)))
+            np.testing.assert_allclose(
+                np.asarray(back, np.float32),
+                np.asarray(orig, np.float32),
+                atol=amax / 127 + 1e-7,
+            )
+
+
+def test_variant_fns_agree(small_model):
+    model, params, batch_stats = small_model
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 32, 32, 3)), jnp.float32)
+    f32 = make_variant_fn(model, batch_stats, params, "f32")
+    int8 = make_variant_fn(model, batch_stats, params, "int8")
+    a, b = np.asarray(f32(x)), np.asarray(int8(x))
+    assert a.shape == b.shape == (1, 32, 32, 2)
+    diff, verdict = logit_diff_verdict(a, b)
+    assert diff < 1.0  # int8 weights keep the model in the same regime
+
+
+def test_compare_variants_report(small_model, tmp_path):
+    from iswm_tpu.data import write_dataset
+    from iswm_tpu.data.datasets import EvaluationDataset
+
+    model, params, batch_stats = small_model
+    root = write_dataset(str(tmp_path), n_train=1, n_val=5, size=(32, 32), seed=7)
+    ds = EvaluationDataset(root, split="val")
+    report = compare_variants(
+        model, params, batch_stats, ds,
+        variants=("f32", "int8"), sequence_length=3, max_images=5,
+    )
+    assert set(report) == {"f32", "int8"}
+    assert report["int8"]["size_reduction"] > 2.5
+    assert "speedup" in report["int8"]
+    assert report["int8"]["verdict"]
+    table = format_report(report)
+    assert "f32" in table and "int8" in table and "verdict" in table

@@ -1,0 +1,112 @@
+"""Golden model parity: reference torch DeepLabV3+ vs our flax model.
+
+Builds the reference network (randomly initialized, eval mode), converts
+its state dict with the importer, and asserts logits agree on the same
+input — the strongest architectural parity proof available.  Skipped when
+torch or the reference tree is unavailable.
+
+The reference's _deeplab.py carries stale ``src.*`` imports
+(SURVEY §0.1.2); harmless stub modules are injected so the module loads.
+"""
+
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference")
+
+
+@pytest.fixture(scope="module")
+def ref_network():
+    if not REF.exists():
+        pytest.skip("reference tree not available")
+    torch = pytest.importorskip("torch")
+    if str(REF) not in sys.path:
+        sys.path.insert(0, str(REF))
+    # stub the reference's stale src.* imports (dead weight, SURVEY §0.1.2)
+    for name in ("src", "src.utils", "src.datasets"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["src.utils"].ext_transforms = types.ModuleType("ext_transforms")
+    sys.modules["src.datasets"].FeatureVisDataset = type("FeatureVisDataset", (), {})
+    import network.modeling as ref_modeling
+
+    return torch, ref_modeling
+
+
+@pytest.mark.parametrize("output_stride", [16, 8])
+def test_deeplabv3plus_resnet50_logit_parity(ref_network, output_stride):
+    torch, ref_modeling = ref_network
+    import jax
+    import jax.numpy as jnp
+
+    from iswm_tpu.compat.torch_import import import_torch_state_dict
+    from iswm_tpu.config import ModelConfig
+    from iswm_tpu.models import build_model
+
+    torch.manual_seed(0)
+    ref_model = ref_modeling.deeplabv3plus_resnet50(
+        num_classes=2, output_stride=output_stride, pretrained_backbone=False
+    )
+    ref_model.eval()
+
+    x = np.random.default_rng(0).normal(size=(1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ref_model(torch.from_numpy(x)).numpy()  # [1, 2, H, W]
+
+    params, stats = import_torch_state_dict(
+        ref_model.state_dict(), backbone="resnet50", head="deeplabv3plus"
+    )
+    model = build_model(
+        ModelConfig(
+            backbone="resnet50", output_stride=output_stride, compute_dtype="float32"
+        )
+    )
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    ours = model.apply(
+        {
+            "params": jax.tree.map(jnp.asarray, params),
+            "batch_stats": jax.tree.map(jnp.asarray, stats),
+        },
+        x_nhwc,
+        train=False,
+    )
+    ours_nchw = np.transpose(np.asarray(ours), (0, 3, 1, 2))
+    np.testing.assert_allclose(ours_nchw, ref_logits, atol=2e-4, rtol=1e-3)
+
+
+def test_checkpoint_dict_roundtrip(ref_network, tmp_path):
+    torch, ref_modeling = ref_network
+    from iswm_tpu.compat.torch_import import load_reference_checkpoint
+
+    ref_model = ref_modeling.deeplabv3plus_resnet50(
+        num_classes=2, output_stride=16, pretrained_backbone=False
+    )
+    payload = {
+        "model_state": ref_model.state_dict(),
+        "cur_itrs": 1234,
+        "best_score": {"MIoU": 0.5},
+        "model_config": {"model_name": "deeplabv3plus_resnet50"},
+    }
+    p = tmp_path / "ckpt.pth"
+    torch.save(payload, p)
+    params, stats, meta = load_reference_checkpoint(str(p))
+    assert meta["cur_itrs"] == 1234
+    assert "backbone" in params and "head" in params
+    assert "backbone" in stats
+
+
+def test_module_prefix_stripped(ref_network):
+    torch, ref_modeling = ref_network
+    from iswm_tpu.compat.torch_import import import_torch_state_dict
+
+    ref_model = ref_modeling.deeplabv3plus_resnet50(
+        num_classes=2, output_stride=16, pretrained_backbone=False
+    )
+    # simulate nn.DataParallel's "module." prefix (reference train.py:980-985)
+    sd = {f"module.{k}": v for k, v in ref_model.state_dict().items()}
+    params, _ = import_torch_state_dict(sd)
+    assert "stem" in params["backbone"]
