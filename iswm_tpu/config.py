@@ -72,6 +72,8 @@ class LossConfig:
     focal_alpha: float = 1.0
     focal_gamma: float = 0.0
     ignore_index: int = 255
+    # Pallas fused softmax-CE kernel for binary CE: auto | always | never
+    fused_kernel: str = "auto"
 
 
 @dataclass

@@ -114,10 +114,46 @@ def make_loss_fn(
     ignore_index: int = 255,
     focal_alpha: float = 1.0,
     focal_gamma: float = 0.0,
+    fused: str = "auto",
+    num_classes: int = 2,
 ) -> Callable[[jax.Array, jax.Array], jax.Array]:
     """Loss factory mirroring setup_criterion (reference train.py:454-459)
     plus the focal variant the reference defined but never wired
-    (utils/loss.py:37-39 — wired here on purpose)."""
+    (utils/loss.py:37-39 — wired here on purpose).
+
+    ``fused``: 'auto' uses the Pallas fused softmax-CE kernel for binary
+    CE/IWce on TPU backends, 'always' forces it, 'never' keeps the jnp
+    path (which XLA fuses into the network tail anyway).
+    """
+    want_fused = (
+        loss_type in ("ce_loss", "IWce_loss")
+        and num_classes == 2
+        and (
+            fused == "always"
+            # auto: single-chip TPU only — under multi-chip GSPMD an opaque
+            # pallas_call would force an all-gather of the sharded logits;
+            # the jnp path partitions cleanly (shard_map wrapper is future work)
+            or (
+                fused == "auto"
+                and jax.default_backend() not in ("cpu",)
+                and jax.device_count() == 1
+            )
+        )
+    )
+    if want_fused:
+        from .pallas.fused_ce import fused_binary_ce
+
+        cw = (
+            jnp.asarray(class_weights, jnp.float32)
+            if class_weights is not None
+            else jnp.ones(2, jnp.float32)
+        )
+
+        def fused_loss(logits, labels):
+            return fused_binary_ce(logits, labels, cw, ignore_index, False)
+
+        return fused_loss
+
     if loss_type == "ce_loss":
         return partial(cross_entropy_loss, ignore_index=ignore_index)
     if loss_type == "IWce_loss":

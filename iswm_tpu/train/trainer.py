@@ -97,6 +97,8 @@ class Trainer:
             ignore_index=cfg.loss.ignore_index,
             focal_alpha=cfg.loss.focal_alpha,
             focal_gamma=cfg.loss.focal_gamma,
+            fused=cfg.loss.fused_kernel,
+            num_classes=cfg.model.num_classes,
         )
 
         # ------------------------------------------------------- optimizer

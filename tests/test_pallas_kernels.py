@@ -1,0 +1,74 @@
+"""Pallas kernel tests (interpret mode on CPU) vs the jnp reference ops."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from iswm_tpu.ops.losses import cross_entropy_loss, weighted_cross_entropy_loss
+from iswm_tpu.ops.pallas.confusion import binary_confusion_matrix
+from iswm_tpu.ops.pallas.fused_ce import fused_binary_ce
+from iswm_tpu.metrics import fast_hist
+
+
+def _random_case(seed, shape=(2, 33, 47)):
+    rng = np.random.default_rng(seed)
+    logits = rng.normal(size=(*shape, 2)).astype(np.float32) * 3
+    labels = rng.integers(0, 2, shape).astype(np.int32)
+    labels[0, :2, :3] = 255  # ignore pixels
+    return jnp.asarray(logits), jnp.asarray(labels)
+
+
+def test_fused_ce_matches_reference_unweighted():
+    logits, labels = _random_case(0)
+    ref = cross_entropy_loss(logits, labels)
+    got = fused_binary_ce(logits, labels, jnp.ones(2), 255, True)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+
+def test_fused_ce_matches_reference_weighted():
+    logits, labels = _random_case(1)
+    cw = jnp.asarray([1.0, 5.3])
+    ref = weighted_cross_entropy_loss(logits, labels, cw)
+    got = fused_binary_ce(logits, labels, cw, 255, True)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+
+def test_fused_ce_gradients_match():
+    logits, labels = _random_case(2, shape=(1, 17, 21))
+    cw = jnp.asarray([1.0, 2.0])
+
+    ref_g = jax.grad(lambda l: weighted_cross_entropy_loss(l, labels, cw))(logits)
+    got_g = jax.grad(lambda l: fused_binary_ce(l, labels, cw, 255, True))(logits)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g), atol=1e-6)
+
+
+def test_fused_ce_all_ignored():
+    logits = jnp.zeros((1, 8, 8, 2))
+    labels = jnp.full((1, 8, 8), 255, jnp.int32)
+    got = fused_binary_ce(logits, labels, jnp.ones(2), 255, True)
+    assert float(got) == 0.0  # guarded denominator
+
+
+def test_fused_ce_bf16_logits():
+    logits, labels = _random_case(3)
+    got = fused_binary_ce(logits.astype(jnp.bfloat16), labels, jnp.ones(2), 255, True)
+    ref = cross_entropy_loss(logits.astype(jnp.bfloat16), labels)
+    np.testing.assert_allclose(float(got), float(ref), rtol=2e-2)
+
+
+def test_confusion_matrix_kernel():
+    rng = np.random.default_rng(4)
+    gts = rng.integers(0, 2, (3, 50, 61)).astype(np.int32)
+    preds = rng.integers(0, 2, (3, 50, 61)).astype(np.int32)
+    gts[0, 0, :10] = 255
+    cm = binary_confusion_matrix(jnp.asarray(gts), jnp.asarray(preds), interpret=True)
+    ref = fast_hist(gts.ravel(), preds.ravel(), 2)
+    np.testing.assert_array_equal(np.asarray(cm), ref.astype(np.float32))
+
+
+def test_confusion_matrix_kernel_empty():
+    cm = binary_confusion_matrix(
+        jnp.full((4, 4), 255, jnp.int32), jnp.zeros((4, 4), jnp.int32), interpret=True
+    )
+    assert float(cm.sum()) == 0.0
