@@ -130,6 +130,9 @@ class TrainConfig:
     log_dir: str = "logs"  # JSONL metric log (MLflow-compatible names)
     use_mlflow: bool = False  # enable if mlflow importable + MLFLOW_TRACKING_URI set
     experiment_tag: str = ""
+    # jax.profiler: trace this many steps starting at profile_start (0 = off)
+    profile_steps: int = 0
+    profile_start: int = 10
 
 
 @dataclass

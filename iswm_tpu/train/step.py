@@ -57,11 +57,15 @@ def make_train_step(
     loss_fn: Callable[[jax.Array, jax.Array], jax.Array],
     augment: Optional[AugmentConfig] = None,
     donate: bool = True,
+    remat: bool = False,
 ) -> Callable:
     """Build the fused train step.
 
     If ``augment`` is given, the step takes raw uint8 images [B,H,W,C] +
     int labels and runs scale/crop/flip/normalize on device first.
+    ``remat`` rematerializes the forward during the backward pass
+    (jax.checkpoint) — trades ~1/3 more FLOPs for activation memory,
+    enabling larger tiles/batches per chip.
     Returns ``train_step(state, images, labels, rng) -> (state, metrics)``.
     """
 
@@ -78,14 +82,23 @@ def make_train_step(
                 lambda k, i, l: augment_sample(k, i, l, augment)
             )(keys, images, labels)
 
-        def compute_loss(params):
-            logits, mutated = model.apply(
+        def forward(params, images):
+            return model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 images,
                 train=True,
                 mutable=["batch_stats"],
                 rngs={"dropout": dropout_rng},
             )
+
+        if remat:
+            forward = jax.checkpoint(
+                forward,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+
+        def compute_loss(params):
+            logits, mutated = forward(params, images)
             loss = loss_fn(logits, labels.astype(jnp.int32))
             return loss, mutated["batch_stats"]
 

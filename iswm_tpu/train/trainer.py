@@ -113,7 +113,10 @@ class Trainer:
             mean=tuple(cfg.data.mean),
             std=tuple(cfg.data.std),
         )
-        self.train_step = make_train_step(self.model, self.tx, self.loss_fn, augment=aug)
+        self.train_step = make_train_step(
+            self.model, self.tx, self.loss_fn, augment=aug,
+            remat=cfg.parallel.remat,
+        )
         self.eval_step = make_eval_step(self.model)
 
         # ----------------------------------------------------------- state
@@ -135,6 +138,22 @@ class Trainer:
         )
         mlflow = try_setup_mlflow(exp_name, cfg.train.use_mlflow)
         self.logger = MetricsLogger(cfg.train.log_dir, mlflow)
+        # config snapshot (the reference logs ~35 hyperparams to mlflow,
+        # train.py:884-934; we persist the full config always and mirror it
+        # into mlflow params when enabled)
+        os.makedirs(cfg.train.log_dir, exist_ok=True)
+        cfg.to_yaml(os.path.join(cfg.train.log_dir, "config.yaml"))
+        if mlflow is not None:
+            try:
+                mlflow.start_run()
+                flat = {
+                    f"{s}.{k}": str(v)
+                    for s, sub in cfg.to_dict().items()
+                    for k, v in sub.items()
+                }
+                mlflow.log_params(flat)
+            except Exception:
+                pass
 
         # ------------------------------------------------------ restore
         if cfg.train.ckpt:
@@ -174,8 +193,22 @@ class Trainer:
         interval_loss = 0.0
         n_interval = 0
         t0 = time.time()
+        profiling = False
         try:
             while int(self.state.step) < cfg.train.total_itrs:
+                step_now = int(self.state.step)
+                if cfg.train.profile_steps:
+                    if step_now == cfg.train.profile_start and not profiling:
+                        jax.profiler.start_trace(
+                            os.path.join(cfg.train.log_dir, "profile")
+                        )
+                        profiling = True
+                    elif (
+                        profiling
+                        and step_now >= cfg.train.profile_start + cfg.train.profile_steps
+                    ):
+                        jax.profiler.stop_trace()
+                        profiling = False
                 images, labels = next(it)
                 images, labels = shard_batch(self.mesh, images, labels.astype(np.int32))
                 self.state, metrics = self.train_step(
@@ -206,6 +239,8 @@ class Trainer:
                 if step % cfg.train.val_interval == 0:
                     self.validate_and_save(step)
         finally:
+            if profiling:
+                jax.profiler.stop_trace()
             self.logger.save_plots(cfg.train.metrics_plots_dir)
             self.logger.close()
         return {"best_weighted_score": self.best_weighted}
