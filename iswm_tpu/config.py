@@ -62,6 +62,7 @@ class DataConfig:
     synthetic_train_size: int = 64
     synthetic_val_size: int = 16
     synthetic_image_size: int = 200
+    cache_in_memory: bool = True  # keep decoded arrays in host RAM
 
 
 @dataclass

@@ -61,10 +61,13 @@ class BinarySegmentation:
 
     decode_target = staticmethod(decode_target)
 
-    def __init__(self, root: str, split: str = "train", transform=None):
+    def __init__(self, root: str, split: str = "train", transform=None, cache: bool = False):
         self.root = root
         self.split = split
         self.transform = transform  # host-side paired callable, optional
+        self.cache = cache  # keep decoded arrays in RAM (host decode is the
+        # bottleneck on small hosts; augmentation runs on device anyway)
+        self._cache: dict = {}
 
         base = Path(root) if split in ("", ".") else Path(root) / split
         if not (base / "imgs").is_dir():
@@ -93,13 +96,18 @@ class BinarySegmentation:
         return None
 
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
-        name = self.images[idx]
-        image = _load_image(str(self.img_dir / name))
-        mask_path = self._mask_path(name)
-        if mask_path is None:
-            label = np.zeros(image.shape[:2], dtype=np.uint8)  # empty-mask fallback
+        if self.cache and idx in self._cache:
+            image, label = self._cache[idx]
         else:
-            label = _load_mask(str(mask_path))
+            name = self.images[idx]
+            image = _load_image(str(self.img_dir / name))
+            mask_path = self._mask_path(name)
+            if mask_path is None:
+                label = np.zeros(image.shape[:2], dtype=np.uint8)  # empty-mask fallback
+            else:
+                label = _load_mask(str(mask_path))
+            if self.cache:
+                self._cache[idx] = (image, label)
         if self.transform is not None:
             image, label = self.transform(image, label)
         return image, label

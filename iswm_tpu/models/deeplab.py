@@ -22,7 +22,7 @@ first-class variant.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -147,15 +147,18 @@ class DeepLabV3Model(nn.Module):
 
     backbone: nn.Module
     head: nn.Module
-    logits_dtype: Dtype = jnp.float32
+    # None: keep the compute dtype (bf16) — the full-resolution logits are
+    # the widest tensor in the network and casting them to f32 costs pure
+    # HBM bandwidth; every consumer (loss, softmax, argmax) does its math
+    # in f32 internally anyway.  Set jnp.float32 for f32-out parity tests.
+    logits_dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         input_hw = (x.shape[1], x.shape[2])
         features = self.backbone(x, train)
         logits = self.head(features, train)
-        # Upsample in the compute dtype (bf16): the full-resolution bilinear
-        # resize is pure HBM bandwidth, and doing it in f32 doubles the
-        # traffic of the widest tensor in the network for no accuracy gain.
         logits = resize_bilinear(logits, input_hw)
-        return logits.astype(self.logits_dtype)
+        if self.logits_dtype is not None:
+            logits = logits.astype(self.logits_dtype)
+        return logits

@@ -74,8 +74,12 @@ class Trainer:
             data_root = root
         else:
             data_root = cfg.data.data_root
-        self.train_ds = BinarySegmentation(data_root, split="train")
-        self.val_ds = BinarySegmentation(data_root, split="val")
+        self.train_ds = BinarySegmentation(
+            data_root, split="train", cache=cfg.data.cache_in_memory
+        )
+        self.val_ds = BinarySegmentation(
+            data_root, split="val", cache=cfg.data.cache_in_memory
+        )
 
         # ----------------------------------------------------------- model
         self.model = build_model(cfg.model)
