@@ -155,6 +155,31 @@ def import_torch_state_dict(
     return params, stats
 
 
+def adapt_stem_in_channels(params: dict, in_channels: int) -> dict:
+    """Adapt an imported 3-channel stem to ``in_channels`` inputs.
+
+    Reference semantics (network/modeling.py:25-43): the first 3 input
+    channels keep the pretrained kernel; extra channels are initialized
+    with the mean over the pretrained input channels.
+    """
+    if in_channels == 3:
+        return params
+    stem = params["backbone"]["stem"]["conv"]["kernel"]  # HWIO
+    if in_channels < 3:
+        new = stem[:, :, :in_channels, :]
+    else:
+        mean = stem.mean(axis=2, keepdims=True)
+        extra = np.repeat(mean, in_channels - 3, axis=2)
+        new = np.concatenate([stem, extra], axis=2)
+    out = dict(params)
+    out["backbone"] = dict(params["backbone"])
+    out["backbone"]["stem"] = {
+        "conv": {"kernel": new},
+        "bn": params["backbone"]["stem"]["bn"],
+    }
+    return out
+
+
 def load_reference_checkpoint(
     path: str, *, backbone: str = "resnet50", head: str = "deeplabv3plus"
 ) -> Tuple[dict, dict, dict]:

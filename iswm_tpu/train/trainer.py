@@ -246,6 +246,16 @@ class Trainer:
             if profiling:
                 jax.profiler.stop_trace()
             self.logger.save_plots(cfg.train.metrics_plots_dir)
+            if self.logger.mlflow is not None:
+                try:  # best-of-run metrics + completion status (reference
+                    # train.py:1112-1116)
+                    self.logger.mlflow.log_metric(
+                        "best_weighted_score", self.best_weighted
+                    )
+                    self.logger.mlflow.set_tag("status", "completed")
+                    self.logger.mlflow.end_run()
+                except Exception:
+                    pass
             self.logger.close()
         return {"best_weighted_score": self.best_weighted}
 

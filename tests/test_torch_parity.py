@@ -110,3 +110,29 @@ def test_module_prefix_stripped(ref_network):
     sd = {f"module.{k}": v for k, v in ref_model.state_dict().items()}
     params, _ = import_torch_state_dict(sd)
     assert "stem" in params["backbone"]
+
+
+def test_adapt_stem_in_channels(ref_network):
+    torch, ref_modeling = ref_network
+    import numpy as np
+
+    from iswm_tpu.compat.torch_import import (
+        adapt_stem_in_channels,
+        import_torch_state_dict,
+    )
+
+    ref_model = ref_modeling.deeplabv3plus_resnet50(
+        num_classes=2, output_stride=16, pretrained_backbone=False
+    )
+    params, _ = import_torch_state_dict(ref_model.state_dict())
+    out = adapt_stem_in_channels(params, 5)
+    k = out["backbone"]["stem"]["conv"]["kernel"]
+    assert k.shape[2] == 5
+    np.testing.assert_allclose(
+        k[:, :, :3], params["backbone"]["stem"]["conv"]["kernel"]
+    )
+    np.testing.assert_allclose(
+        k[:, :, 3], params["backbone"]["stem"]["conv"]["kernel"].mean(axis=2)
+    )
+    # identity for 3 channels
+    assert adapt_stem_in_channels(params, 3) is params
