@@ -196,20 +196,23 @@ class Trainer:
         sharding = batch_sharding(self.mesh)
         interval_loss = 0.0
         n_interval = 0
+        pending_losses = []
         t0 = time.time()
         profiling = False
+        # host-side step mirror: reading state.step each iteration would be
+        # a device sync per step
+        step = int(self.state.step)
         try:
-            while int(self.state.step) < cfg.train.total_itrs:
-                step_now = int(self.state.step)
+            while step < cfg.train.total_itrs:
                 if cfg.train.profile_steps:
-                    if step_now == cfg.train.profile_start and not profiling:
+                    if step == cfg.train.profile_start and not profiling:
                         jax.profiler.start_trace(
                             os.path.join(cfg.train.log_dir, "profile")
                         )
                         profiling = True
                     elif (
                         profiling
-                        and step_now >= cfg.train.profile_start + cfg.train.profile_steps
+                        and step >= cfg.train.profile_start + cfg.train.profile_steps
                     ):
                         jax.profiler.stop_trace()
                         profiling = False
@@ -218,12 +221,17 @@ class Trainer:
                 self.state, metrics = self.train_step(
                     self.state, images, labels, self.rng
                 )
-                step = int(self.state.step)
-                interval_loss += float(metrics["loss"])
+                step += 1
+                # keep the loss on device; fetching a scalar every step is a
+                # hidden host sync (expensive on remote backends) — drain
+                # once per print interval instead
+                pending_losses.append(metrics["loss"])
                 n_interval += 1
 
                 if step % cfg.train.print_interval == 0:
                     lr = float(self.schedule(step))
+                    interval_loss += float(np.sum(jax.device_get(pending_losses)))
+                    pending_losses.clear()
                     avg = interval_loss / max(n_interval, 1)
                     self.logger.log_step(
                         step,
