@@ -155,3 +155,48 @@ def test_trainer_resume(tiny_config):
     assert int(trainer.state.step) == 6  # resumed
     trainer.fit()
     assert int(trainer.state.step) == 8
+
+
+def test_remat_train_step_matches(tiny_config):
+    """Remat changes memory, not math: one step with/without remat agrees."""
+    import jax
+    import jax.numpy as jnp
+
+    from iswm_tpu.config import ModelConfig
+    from iswm_tpu.models import build_model
+    from iswm_tpu.ops import make_loss_fn
+    from iswm_tpu.train.optim import make_optimizer
+    from iswm_tpu.train.step import create_train_state, make_train_step
+
+    model = build_model(ModelConfig(backbone="resnet18", compute_dtype="float32"))
+    tx, _ = make_optimizer(OptimConfig(), 100)
+    loss_fn = make_loss_fn("ce_loss")
+    imgs = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 32, 32, 3)), jnp.float32
+    )
+    lbls = jnp.zeros((2, 32, 32), jnp.int32)
+    rng = jax.random.key(0)
+
+    s0 = create_train_state(model, tx, jax.random.key(1), imgs[:1])
+    plain = make_train_step(model, tx, loss_fn, donate=False)
+    remat = make_train_step(model, tx, loss_fn, donate=False, remat=True)
+    _, m_plain = plain(s0, imgs, lbls, rng)
+    _, m_remat = remat(s0, imgs, lbls, rng)
+    assert float(m_plain["loss"]) == pytest.approx(float(m_remat["loss"]), rel=1e-6)
+
+
+def test_fused_loss_selection():
+    from iswm_tpu.ops import make_loss_fn
+
+    import functools
+
+    # on CPU, auto must choose the jnp path (a functools.partial of the jnp
+    # loss, not the fused closure)
+    fn = make_loss_fn("ce_loss", fused="auto", num_classes=2)
+    assert isinstance(fn, functools.partial)
+    # 'never' always jnp
+    fn = make_loss_fn("IWce_loss", class_weights=[1.0, 2.0], fused="never")
+    assert fn.func.__name__ == "weighted_cross_entropy_loss"
+    # focal never fuses
+    fn = make_loss_fn("focal_loss", fused="always")
+    assert fn.func.__name__ == "focal_loss"
