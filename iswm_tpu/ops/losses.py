@@ -116,6 +116,7 @@ def make_loss_fn(
     focal_gamma: float = 0.0,
     fused: str = "auto",
     num_classes: int = 2,
+    mesh=None,
 ) -> Callable[[jax.Array, jax.Array], jax.Array]:
     """Loss factory mirroring setup_criterion (reference train.py:454-459)
     plus the focal variant the reference defined but never wired
@@ -123,36 +124,45 @@ def make_loss_fn(
 
     ``fused``: 'auto' uses the Pallas fused softmax-CE kernel for binary
     CE/IWce on TPU backends, 'always' forces it, 'never' keeps the jnp
-    path (which XLA fuses into the network tail anyway).
+    path (which XLA fuses into the network tail anyway).  On a multi-device
+    mesh the kernel runs per-shard under shard_map with a psum of the
+    (ce_sum, w_sum) pair over the data axis (pass ``mesh``).
     """
+    on_tpu = jax.default_backend() not in ("cpu",)
     want_fused = (
         loss_type in ("ce_loss", "IWce_loss")
         and num_classes == 2
-        and (
-            fused == "always"
-            # auto: single-chip TPU only — under multi-chip GSPMD an opaque
-            # pallas_call would force an all-gather of the sharded logits;
-            # the jnp path partitions cleanly (shard_map wrapper is future work)
-            or (
-                fused == "auto"
-                and jax.default_backend() not in ("cpu",)
-                and jax.device_count() == 1
-            )
-        )
+        and (fused == "always" or (fused == "auto" and on_tpu))
     )
     if want_fused:
-        from .pallas.fused_ce import fused_binary_ce
-
         cw = (
             jnp.asarray(class_weights, jnp.float32)
             if class_weights is not None
             else jnp.ones(2, jnp.float32)
         )
+        if jax.device_count() > 1:
+            if mesh is None:
+                # no mesh to shard over — an opaque pallas_call would force
+                # GSPMD to all-gather the logits; keep the jnp path
+                want_fused = False
+            else:
+                from .pallas.fused_ce import make_sharded_fused_ce
 
-        def fused_loss(logits, labels):
-            return fused_binary_ce(logits, labels, cw, ignore_index, False)
+                sharded = make_sharded_fused_ce(
+                    mesh, axis=mesh.axis_names[0], ignore_index=ignore_index
+                )
 
-        return fused_loss
+                def fused_loss(logits, labels):
+                    return sharded(logits, labels, cw)
+
+                return fused_loss
+        if want_fused:
+            from .pallas.fused_ce import fused_binary_ce
+
+            def fused_loss(logits, labels):
+                return fused_binary_ce(logits, labels, cw, ignore_index, False)
+
+            return fused_loss
 
     if loss_type == "ce_loss":
         return partial(cross_entropy_loss, ignore_index=ignore_index)

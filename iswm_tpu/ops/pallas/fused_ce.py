@@ -199,3 +199,61 @@ fused_binary_ce.defvjp(
     ),
     _bwd,
 )
+
+
+# ------------------------------------------------------------- multi-chip
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _sharded_local_ce(logits, labels, cw, ignore_index, interpret, axis):
+    """Per-shard fused CE body: local Pallas partial sums, psum over the
+    data axis (ICI), global weighted mean.  Runs inside shard_map."""
+    loss, _ = _sharded_local_fwd(logits, labels, cw, ignore_index, interpret, axis)
+    return loss
+
+
+def _sharded_local_fwd(logits, labels, cw, ignore_index, interpret, axis):
+    a, b, lbl, _ = _pad_flatten(logits, labels, ignore_index)
+    sums = _fwd_sums(a, b, lbl, cw, ignore_index, interpret)
+    sums = jax.lax.psum(sums, axis)  # ICI all-reduce of (ce_sum, w_sum)
+    w_sum = jnp.maximum(sums[1], 1e-12)
+    return sums[0] / w_sum, (logits, labels, cw, w_sum)
+
+
+def _sharded_local_bwd(ignore_index, interpret, axis, res, g):
+    # With out_specs=P() + check_rep=False the replicated scalar's cotangent
+    # arrives SPLIT across shards (g/axis_size each); psum restores the true
+    # scalar cotangent.  d_logits itself is purely local after that —
+    # (softmax - onehot) * w * g / w_sum_global, w_sum already global.
+    g = jax.lax.psum(g, axis)
+    d_logits, _, _ = _bwd(ignore_index, interpret, res, g)
+    return d_logits, None, None
+
+
+_sharded_local_ce.defvjp(_sharded_local_fwd, _sharded_local_bwd)
+
+
+def make_sharded_fused_ce(mesh, axis: str = "data", ignore_index: int = 255,
+                          interpret: bool = False):
+    """Multi-chip fused CE: the Pallas kernel runs on each chip's local
+    batch shard (no GSPMD all-gather of the full-resolution logits) and the
+    (ce_sum, w_sum) pair is psum-reduced over the mesh's data axis.
+
+    Returns ``loss_fn(logits, labels, class_weights)`` usable inside a
+    sharded jit; differentiable end-to-end.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def loss_fn(logits, labels, class_weights):
+        cw = jnp.asarray(class_weights, jnp.float32)
+        fn = shard_map(
+            lambda lg, lb, w: _sharded_local_ce(
+                lg, lb, w, ignore_index, interpret, axis
+            ),
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P()),
+            out_specs=P(),
+            check_rep=False,
+        )
+        return fn(logits, labels, cw)
+
+    return loss_fn

@@ -103,6 +103,7 @@ class Trainer:
             focal_gamma=cfg.loss.focal_gamma,
             fused=cfg.loss.fused_kernel,
             num_classes=cfg.model.num_classes,
+            mesh=self.mesh,
         )
 
         # ------------------------------------------------------- optimizer

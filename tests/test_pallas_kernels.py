@@ -72,3 +72,24 @@ def test_confusion_matrix_kernel_empty():
         jnp.full((4, 4), 255, jnp.int32), jnp.zeros((4, 4), jnp.int32), interpret=True
     )
     assert float(cm.sum()) == 0.0
+
+
+def test_sharded_fused_ce_matches_reference():
+    """shard_map fused CE (interpret kernels) == jnp loss on an 8-device mesh."""
+    from iswm_tpu.ops.pallas.fused_ce import make_sharded_fused_ce
+    from iswm_tpu.parallel.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh()
+    logits, labels = _random_case(7, shape=(8, 17, 21))
+    cw = jnp.asarray([1.0, 4.0])
+
+    loss_fn = make_sharded_fused_ce(mesh, ignore_index=255, interpret=True)
+    s_logits, s_labels = shard_batch(mesh, np.asarray(logits), np.asarray(labels))
+    got = jax.jit(lambda lg, lb: loss_fn(lg, lb, cw))(s_logits, s_labels)
+    ref = weighted_cross_entropy_loss(logits, labels, cw)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+    # gradients through shard_map
+    g_got = jax.jit(jax.grad(lambda lg: loss_fn(lg, s_labels, cw)))(s_logits)
+    g_ref = jax.grad(lambda lg: weighted_cross_entropy_loss(lg, labels, cw))(logits)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), atol=1e-6)
