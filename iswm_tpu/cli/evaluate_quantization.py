@@ -24,10 +24,14 @@ def get_argparser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--model", type=str, default=None)
     p.add_argument("--output_stride", type=int, default=None, choices=[8, 16])
+    p.add_argument("--compute_dtype", type=str, default=None,
+                   choices=["bfloat16", "float32"])
     p.add_argument("--variants", type=str, default="f32,bf16,int8",
                    help="comma-separated: f32,bf16,int8")
     p.add_argument("--max_images", type=int, default=None)
     p.add_argument("--sequence_length", type=int, default=7)
+    p.add_argument("--comparison_dir", type=str, default=None,
+                   help="write per-variant comparison panels here")
     return p
 
 
@@ -40,6 +44,8 @@ def main(argv=None) -> int:
         cfg.model.backbone = "mobilenetv2" if backbone == "mobilenet" else backbone
     if args.output_stride is not None:
         cfg.model.output_stride = args.output_stride
+    if args.compute_dtype is not None:
+        cfg.model.compute_dtype = args.compute_dtype
     cfg.validate()
 
     import jax
@@ -75,6 +81,7 @@ def main(argv=None) -> int:
         variants=variants,
         sequence_length=args.sequence_length,
         max_images=args.max_images,
+        comparison_dir=args.comparison_dir,
     )
     print(format_report(report))
     return 0

@@ -25,6 +25,8 @@ def get_argparser() -> argparse.ArgumentParser:
     p.add_argument("--model", type=str, default=None)
     p.add_argument("--output_stride", type=int, default=None, choices=[8, 16])
     p.add_argument("--num_classes", type=int, default=None)
+    p.add_argument("--compute_dtype", type=str, default=None,
+                   choices=["bfloat16", "float32"])
     p.add_argument("--pred_threshold", type=float, default=None)
     p.add_argument("--use_argmax", action="store_true",
                    help="validation semantics (argmax) instead of fg-prob threshold")
@@ -50,6 +52,8 @@ def build_config(args: argparse.Namespace) -> Config:
         cfg.model.output_stride = args.output_stride
     if args.num_classes is not None:
         cfg.model.num_classes = args.num_classes
+    if args.compute_dtype is not None:
+        cfg.model.compute_dtype = args.compute_dtype
     cfg.predict.input_dir = args.input_dir
     cfg.predict.output_dir = args.output_dir
     for flag in (

@@ -38,6 +38,8 @@ def get_argparser() -> argparse.ArgumentParser:
     p.add_argument("--output_stride", type=int, default=None, choices=[8, 16])
     p.add_argument("--separable_conv", action="store_true",
                    help="use atrous separable convs in the head (functional here)")
+    p.add_argument("--compute_dtype", type=str, default=None,
+                   choices=["bfloat16", "float32"])
 
     # optimization
     p.add_argument("--total_itrs", type=int, default=None)
@@ -89,6 +91,7 @@ def build_config(args: argparse.Namespace) -> Config:
         ("val_batch_size", ("data", "val_batch_size")),
         ("num_classes", ("model", "num_classes")),
         ("output_stride", ("model", "output_stride")),
+        ("compute_dtype", ("model", "compute_dtype")),
         ("total_itrs", ("train", "total_itrs")),
         ("lr", ("optim", "lr")),
         ("optimizer", ("optim", "optimizer")),

@@ -203,6 +203,30 @@ def evaluate_variant(
     }
 
 
+def save_comparison_images(
+    out_dir: str,
+    image,
+    gt,
+    preds_by_variant: Dict[str, Any],
+    name: str,
+) -> str:
+    """Side-by-side (image | gt | per-variant preds) comparison panel
+    (reference evaluate_quantization.py:156-184)."""
+    from ..utils.visualizer import Visualizer
+
+    vis = Visualizer(out_dir)
+    import numpy as _np
+
+    first_two = list(preds_by_variant.items())[:2]
+    return vis.vis_segmentation_panel(
+        name,
+        _np.asarray(image),
+        gt=_np.asarray(gt) * 255,
+        pred=_np.asarray(first_two[0][1]) * 255 if first_two else None,
+        confidence=_np.asarray(first_two[1][1]) * 255 if len(first_two) > 1 else None,
+    )
+
+
 def compare_variants(
     model,
     params,
@@ -212,11 +236,15 @@ def compare_variants(
     *,
     sequence_length: int = 7,
     max_images: Optional[int] = None,
+    comparison_dir: Optional[str] = None,
 ) -> Dict[str, Dict[str, float]]:
     """The FP32-vs-quantized comparison report (reference
-    evaluate_quantization.py:301-354 table: latency / size / metric deltas)."""
+    evaluate_quantization.py:301-354 table: latency / size / metric deltas).
+    With ``comparison_dir``, per-image variant comparison panels are written
+    (reference evaluate_quantization.py:156-184)."""
     report: Dict[str, Dict[str, float]] = {}
     probe = None
+    first_preds: Dict[str, Any] = {}
     for name in variants:
         fn = make_variant_fn(model, batch_stats, params, name)
         stats = evaluate_variant(
@@ -228,12 +256,19 @@ def compare_variants(
         from ..data.transforms import normalize
 
         logits = np.asarray(fn(normalize(image)))
+        first_preds[name] = np.argmax(logits[0], axis=-1)
         if probe is None:
             probe = logits
             stats["logit_diff"], stats["verdict"] = 0.0, "reference variant"
         else:
             stats["logit_diff"], stats["verdict"] = logit_diff_verdict(probe, logits)
         report[name] = stats
+
+    if comparison_dir is not None:
+        img0, gt0 = dataset[0][:2]
+        save_comparison_images(
+            comparison_dir, img0, gt0, first_preds, "variant_comparison"
+        )
 
     base = report[variants[0]]
     for name in variants[1:]:
