@@ -119,10 +119,18 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, normalize_input: bool = True) -> Callable:
-    """Eval step: logits + argmax preds (validation semantics,
-    reference train.py:644) and fg softmax probability (predict semantics,
-    reference predict.py:275) in one dispatch."""
+def make_eval_step(
+    model,
+    normalize_input: bool = True,
+    want: Tuple[str, ...] = ("logits", "probs", "preds"),
+) -> Callable:
+    """Eval step: argmax preds (validation semantics, reference
+    train.py:644) and/or fg softmax probability (predict semantics,
+    reference predict.py:275) in one dispatch.
+
+    ``want`` selects the materialized outputs — at 512x512 each full-res
+    tensor is pure HBM traffic, so validation passes ("preds",).
+    """
 
     def eval_fn(params, batch_stats, images):
         if normalize_input and images.dtype == jnp.uint8:
@@ -130,8 +138,13 @@ def make_eval_step(model, normalize_input: bool = True) -> Callable:
         logits = model.apply(
             {"params": params, "batch_stats": batch_stats}, images, train=False
         )
-        probs = jax.nn.softmax(logits, axis=-1)
-        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return {"logits": logits, "probs": probs, "preds": preds}
+        out = {}
+        if "logits" in want:
+            out["logits"] = logits
+        if "probs" in want:
+            out["probs"] = jax.nn.softmax(logits, axis=-1)
+        if "preds" in want:
+            out["preds"] = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return out
 
     return jax.jit(eval_fn)

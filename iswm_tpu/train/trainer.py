@@ -122,7 +122,7 @@ class Trainer:
             self.model, self.tx, self.loss_fn, augment=aug,
             remat=cfg.parallel.remat,
         )
-        self.eval_step = make_eval_step(self.model)
+        self.eval_step = make_eval_step(self.model, want=("preds",))
 
         # ----------------------------------------------------------- state
         rng = jax.random.key(cfg.train.random_seed)
