@@ -134,6 +134,10 @@ class TrainConfig:
     # jax.profiler: trace this many steps starting at profile_start (0 = off)
     profile_steps: int = 0
     profile_start: int = 10
+    # fault tolerance: write a rolling 'latest' checkpoint every N iters
+    # (0 = off); auto_resume restores it at startup when present
+    latest_interval: int = 0
+    auto_resume: bool = False
 
 
 @dataclass

@@ -116,6 +116,44 @@ def find_best(checkpoints_dir: str) -> Optional[str]:
     return cands[-1] if cands else None
 
 
+def save_latest(checkpoints_dir: str, state: TrainState, **meta_extra) -> str:
+    """Rolling fault-tolerance checkpoint (``latest/``), independent of the
+    best-only policy.  The reference has no elasticity story (SURVEY §5.3);
+    this plus ``find_latest`` gives crash-resume."""
+    os.makedirs(checkpoints_dir, exist_ok=True)
+    _check_disk_space(checkpoints_dir)
+    final_path = os.path.join(checkpoints_dir, "latest")
+    tmp_path = os.path.join(checkpoints_dir, f".tmp_latest_{os.getpid()}")
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+    state = jax.device_get(state)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(
+        os.path.abspath(os.path.join(tmp_path, "state")),
+        {
+            "step": state.step,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+        },
+    )
+    meta = {
+        "cur_itrs": int(state.step),
+        "save_time": time.strftime("%Y-%m-%d %H:%M:%S"),
+        **_plain(meta_extra),
+    }
+    with open(os.path.join(tmp_path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    shutil.rmtree(final_path, ignore_errors=True)
+    os.replace(tmp_path, final_path)
+    return final_path
+
+
+def find_latest(checkpoints_dir: str) -> Optional[str]:
+    p = os.path.join(checkpoints_dir, "latest")
+    return p if os.path.isdir(p) else None
+
+
 def restore(
     path: str, template_state: TrainState
 ) -> Tuple[TrainState, dict]:

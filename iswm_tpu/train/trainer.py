@@ -37,7 +37,7 @@ from ..data import (
 from ..metrics import StreamMetrics, weighted_score
 from ..models import build_model
 from ..ops import make_loss_fn
-from ..parallel.mesh import batch_sharding, make_mesh, shard_batch
+from ..parallel.mesh import make_mesh
 from . import checkpoint as ckpt_lib
 from .best_score import initialize_best_score, is_best_score, update_best_score
 from .logging import MetricsLogger, try_setup_mlflow
@@ -163,6 +163,10 @@ class Trainer:
         # ------------------------------------------------------ restore
         if cfg.train.ckpt:
             self._restore(cfg.train.ckpt, continue_training=cfg.train.continue_training)
+        elif cfg.train.auto_resume:
+            latest = ckpt_lib.find_latest(cfg.train.checkpoints_dir)
+            if latest is not None:
+                self._restore(latest, continue_training=True)
 
     # ----------------------------------------------------------------- io
     def _restore(self, path: str, continue_training: bool) -> None:
@@ -186,15 +190,20 @@ class Trainer:
     # --------------------------------------------------------------- train
     def fit(self) -> Dict[str, float]:
         cfg = self.cfg
-        it = batch_iterator(
-            self.train_ds,
-            cfg.data.batch_size,
-            shuffle=True,
-            drop_last=True,
-            seed=cfg.train.random_seed,
-            epochs=None,
+        from ..data.loader import device_prefetch_iterator
+
+        it = device_prefetch_iterator(
+            batch_iterator(
+                self.train_ds,
+                cfg.data.batch_size,
+                shuffle=True,
+                drop_last=True,
+                seed=cfg.train.random_seed,
+                epochs=None,
+            ),
+            mesh=self.mesh,
+            depth=cfg.data.num_workers // 2 or 2,
         )
-        sharding = batch_sharding(self.mesh)
         interval_loss = 0.0
         n_interval = 0
         pending_losses = []
@@ -217,8 +226,7 @@ class Trainer:
                     ):
                         jax.profiler.stop_trace()
                         profiling = False
-                images, labels = next(it)
-                images, labels = shard_batch(self.mesh, images, labels.astype(np.int32))
+                images, labels = next(it)  # prefetched + device-placed
                 self.state, metrics = self.train_step(
                     self.state, images, labels, self.rng
                 )
@@ -248,6 +256,17 @@ class Trainer:
                         f"lr {lr:.5f} ({rate:.1f} img/s)"
                     )
                     interval_loss, n_interval, t0 = 0.0, 0, time.time()
+
+                if (
+                    cfg.train.latest_interval
+                    and step % cfg.train.latest_interval == 0
+                ):
+                    ckpt_lib.save_latest(
+                        cfg.train.checkpoints_dir,
+                        self.state,
+                        weighted_score=self.best_weighted,
+                        best_score=self.best_score or {},
+                    )
 
                 if step % cfg.train.val_interval == 0:
                     self.validate_and_save(step)

@@ -127,3 +127,46 @@ def test_class_weights_ignores_255():
     lbls = np.full((1, 2, 2), 255, np.int32)
     w = calculate_class_weights([lbls])
     assert w.tolist() == [1.0, 1.0]
+
+
+def test_prefetch_loader_matches_plain(dataset_root):
+    from iswm_tpu.data import BinarySegmentation, batch_iterator
+    from iswm_tpu.data.loader import PrefetchLoader
+
+    ds = BinarySegmentation(dataset_root, split="train")
+    plain = list(batch_iterator(ds, 2, epochs=1))
+    pre = list(PrefetchLoader(batch_iterator(ds, 2, epochs=1), depth=2))
+    assert len(plain) == len(pre)
+    for (a, la), (b, lb) in zip(plain, pre):
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(la, lb)
+
+
+def test_prefetch_loader_propagates_errors():
+    from iswm_tpu.data.loader import PrefetchLoader
+
+    def boom():
+        yield (np.zeros(1), np.zeros(1))
+        raise RuntimeError("decode failed")
+
+    it = iter(PrefetchLoader(boom(), depth=1))
+    next(it)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        next(it)
+
+
+def test_device_prefetch_places_on_mesh(dataset_root):
+    from iswm_tpu.data import BinarySegmentation, batch_iterator
+    from iswm_tpu.data.loader import device_prefetch_iterator
+    from iswm_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    it = device_prefetch_iterator(
+        batch_iterator(BinarySegmentation(dataset_root, split="train"), 8,
+                       epochs=2, drop_last=False),
+        mesh=mesh,
+    )
+    # 6-sample batches are not divisible by 8 devices: the sharding error
+    # raised in the prefetch thread must surface at the consumer
+    with pytest.raises(ValueError, match="divisible"):
+        next(it)
