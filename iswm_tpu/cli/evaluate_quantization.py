@@ -69,7 +69,17 @@ def main(argv=None) -> int:
     tx, _ = make_optimizer(cfg.optim, total_itrs=1)
     sample = jnp.zeros((1, 64, 64, cfg.model.in_channels), cfg.model.compute_dtype)
     state = create_train_state(model, tx, jax.random.key(0), sample)
-    if args.ckpt:
+    if args.ckpt and args.ckpt.endswith((".pth", ".pt")):
+        from ..compat.torch_import import load_reference_checkpoint
+
+        params, batch_stats, _ = load_reference_checkpoint(
+            args.ckpt, backbone=cfg.model.backbone, head=cfg.model.name
+        )
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, params),
+            batch_stats=jax.tree.map(jnp.asarray, batch_stats),
+        )
+    elif args.ckpt:
         state, _ = ckpt_lib.restore(args.ckpt, state)
 
     variants = tuple(v.strip() for v in args.variants.split(",") if v.strip())

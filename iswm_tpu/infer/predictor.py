@@ -40,10 +40,25 @@ class Predictor:
         tx, _ = make_optimizer(cfg.optim, total_itrs=1)
         sample = jnp.zeros((1, 64, 64, cfg.model.in_channels), cfg.model.compute_dtype)
         state = create_train_state(self.model, tx, jax.random.key(0), sample)
-        if ckpt_path:
-            state, _ = ckpt_lib.restore(ckpt_path, state)
-        self.params = state.params
-        self.batch_stats = state.batch_stats
+        if ckpt_path and ckpt_path.endswith((".pth", ".pt")):
+            # reference torch checkpoint: import directly (predict parity
+            # with reference predict.py:69-91 incl. module.-prefix strip)
+            from ..compat.torch_import import load_reference_checkpoint
+
+            params, batch_stats, _ = load_reference_checkpoint(
+                ckpt_path, backbone=cfg.model.backbone, head=cfg.model.name
+            )
+            self.params = jax.tree.map(
+                lambda x: jnp.asarray(x, cfg.model.param_dtype), params
+            )
+            self.batch_stats = jax.tree.map(
+                lambda x: jnp.asarray(x, cfg.model.param_dtype), batch_stats
+            )
+        else:
+            if ckpt_path:
+                state, _ = ckpt_lib.restore(ckpt_path, state)
+            self.params = state.params
+            self.batch_stats = state.batch_stats
 
         def model_fn(images):  # [N,T,T,C] normalized -> [N,T,T,K]
             return self.model.apply(

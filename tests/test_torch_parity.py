@@ -136,3 +136,42 @@ def test_adapt_stem_in_channels(ref_network):
     )
     # identity for 3 channels
     assert adapt_stem_in_channels(params, 3) is params
+
+
+def test_predictor_accepts_pth_checkpoint(ref_network, tmp_path):
+    """End-to-end: a reference .pth -> Predictor -> identical masks as the
+    torch model's own argmax predictions."""
+    torch, ref_modeling = ref_network
+    import numpy as np
+
+    from iswm_tpu.config import Config
+    from iswm_tpu.infer import Predictor
+
+    torch.manual_seed(1)
+    ref_model = ref_modeling.deeplabv3plus_resnet50(
+        num_classes=2, output_stride=16, pretrained_backbone=False
+    )
+    ref_model.eval()
+    p = tmp_path / "ref.pth"
+    torch.save({"model_state": ref_model.state_dict()}, p)
+
+    cfg = Config()
+    cfg.model.backbone = "resnet50"
+    cfg.model.compute_dtype = "float32"
+    cfg.predict.tile_size = 64
+    cfg.predict.tile_overlap = 8
+    cfg.predict.use_argmax = True
+    predictor = Predictor(cfg, ckpt_path=str(p))
+
+    img = np.random.default_rng(5).integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    products = predictor.predict_image(img)
+
+    # torch-side prediction on the same normalized input
+    x = img.astype(np.float32) / 255.0
+    mean = np.array([0.485, 0.456, 0.406]); std = np.array([0.229, 0.224, 0.225])
+    x = (x - mean) / std
+    with torch.no_grad():
+        logits = ref_model(torch.from_numpy(x.transpose(2, 0, 1)[None]).float())
+    ref_pred = logits.argmax(1)[0].numpy()
+    agreement = (products["mask"] == ref_pred).mean()
+    assert agreement > 0.999  # identical up to float tie-breaks
