@@ -20,3 +20,8 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Convenience re-exports (import is cheap; jax loads lazily inside)
+from .config import Config  # noqa: E402
+
+__all__ = ["Config", "__version__"]
