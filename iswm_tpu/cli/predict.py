@@ -36,6 +36,8 @@ def get_argparser() -> argparse.ArgumentParser:
     p.add_argument("--min_prob", type=float, default=None)
     p.add_argument("--max_prob", type=float, default=None)
     p.add_argument("--enable_wave_processing", action="store_true")
+    p.add_argument("--save_feature_maps", action="store_true",
+                   help="write backbone/ASPP activation heatmaps per image")
     p.add_argument("--tile_size", type=int, default=None)
     p.add_argument("--tile_overlap", type=int, default=None)
     p.add_argument("--tile_batch", type=int, default=None)
@@ -68,7 +70,8 @@ def build_config(args: argparse.Namespace) -> Config:
         v = getattr(args, flag)
         if v is not None:
             setattr(cfg.predict, flag, v)
-    for flag in ("use_argmax", "save_confidence", "save_binary", "enable_wave_processing"):
+    for flag in ("use_argmax", "save_confidence", "save_binary",
+                 "enable_wave_processing", "save_feature_maps"):
         if getattr(args, flag):
             setattr(cfg.predict, flag, True)
     return cfg.validate()

@@ -165,6 +165,7 @@ class PredictConfig:
     min_prob: float = 0.2  # broken-area band (predict.py:214-256)
     max_prob: float = 0.7
     enable_wave_processing: bool = False
+    save_feature_maps: bool = False  # backbone/ASPP activation heatmaps
     synthetic_damage_prob: float = 0.8  # predict.py:144
     synthetic_damage_ratio: float = 0.05  # predict.py:152
     # Tile engine (TPU-native replacement for whole-image single-shot predict)

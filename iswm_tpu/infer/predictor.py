@@ -30,6 +30,13 @@ from .products import binarize_confidence_map, confidence_map, prob_to_mask
 from .tiling import TileEngine
 
 
+def _channel_mean(feats) -> np.ndarray:
+    """[1, h, w, c] activations -> normalized [h, w] heatmap."""
+    arr = np.asarray(feats[0], np.float32).mean(axis=-1)
+    lo, hi = arr.min(), arr.max()
+    return (arr - lo) / (hi - lo + 1e-8)
+
+
 class Predictor:
     def __init__(self, cfg: Config, ckpt_path: Optional[str] = None):
         cfg.validate()
@@ -100,6 +107,55 @@ class Predictor:
             "rgb": decode_target(mask),
         }
 
+    # -------------------------------------------------------- feature maps
+    def extract_feature_maps(self, image: np.ndarray) -> Dict[str, np.ndarray]:
+        """Channel-mean activation heatmaps of the backbone taps + ASPP.
+
+        Functional replacement for the reference's vestigial
+        --save_feature_maps path (reference train.py:342-344, 869-872 — the
+        flag only ever created a directory; its FeatureVisDataset import is
+        dead, SURVEY §0.1.1).  Uses flax intermediate capture on a center
+        tile; returns float [h, w] maps in [0, 1].
+        """
+        t = self.cfg.predict.tile_size
+        h, w = image.shape[:2]
+        top, left = max(0, (h - t) // 2), max(0, (w - t) // 2)
+        tile = image[top : top + t, left : left + t]
+        if tile.shape[0] < t or tile.shape[1] < t:
+            tile = np.pad(
+                tile, ((0, t - tile.shape[0]), (0, t - tile.shape[1]), (0, 0)),
+                mode="reflect",
+            )
+        x = val_transform_batch(jnp.asarray(tile)[None]).astype(
+            self.cfg.model.compute_dtype
+        )
+        _, mods = self.model.apply(
+            {"params": self.params, "batch_stats": self.batch_stats},
+            x,
+            train=False,
+            capture_intermediates=lambda mdl, name: name == "__call__",
+            mutable=["intermediates"],
+        )
+        inter = mods["intermediates"]
+        maps: Dict[str, np.ndarray] = {}
+
+        def tap(path, label):
+            node = inter
+            for p in path:
+                if p not in node:
+                    return
+                node = node[p]
+            feats = node["__call__"][0]
+            if isinstance(feats, dict):
+                for k, v in feats.items():
+                    maps[f"{label}_{k}"] = _channel_mean(v)
+            else:
+                maps[label] = _channel_mean(feats)
+
+        tap(("backbone",), "backbone")
+        tap(("head", "aspp"), "aspp")
+        return maps
+
     # ---------------------------------------------------------- directory
     def process_images(self, input_dir: str, output_dir: str) -> int:
         """Walk input_dir (and one level of subdirs); write products.
@@ -144,6 +200,11 @@ class Predictor:
                         synthetic_ratio=cfg.synthetic_damage_ratio,
                     )
                     Image.fromarray(binary).save(out_dir / f"{stem}_binary_mask.png")
+                if cfg.save_feature_maps:
+                    for label, fmap in self.extract_feature_maps(image).items():
+                        Image.fromarray((fmap * 255).astype(np.uint8)).save(
+                            out_dir / f"{stem}_fmap_{label}.png"
+                        )
                 count += 1
             except Exception as e:  # skip bad images (reference predict.py:363-364)
                 print(f"skipping {src}: {e}")

@@ -148,3 +148,32 @@ def test_predictor_end_to_end(tmp_path):
     cfg.predict.use_argmax = True
     products2 = predictor.predict_image(img)
     assert products2["mask"].shape == (40, 40)
+
+
+def test_feature_map_extraction(tmp_path):
+    from PIL import Image
+
+    from iswm_tpu.config import Config
+    from iswm_tpu.infer import Predictor
+
+    cfg = Config()
+    cfg.model.backbone = "resnet18"
+    cfg.model.compute_dtype = "float32"
+    cfg.predict.tile_size = 32
+    cfg.predict.tile_overlap = 8
+    cfg.predict.save_feature_maps = True
+    predictor = Predictor(cfg, ckpt_path=None)
+
+    img = np.random.default_rng(1).integers(0, 255, (48, 48, 3), dtype=np.uint8)
+    maps = predictor.extract_feature_maps(img)
+    assert "backbone_low_level" in maps and "backbone_out" in maps
+    assert "aspp" in maps
+    for m in maps.values():
+        assert 0.0 <= m.min() and m.max() <= 1.0
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    Image.fromarray(img).save(in_dir / "x.png")
+    predictor.process_images(str(in_dir), str(tmp_path / "out"))
+    outs = os.listdir(tmp_path / "out")
+    assert any("_fmap_" in o for o in outs)
