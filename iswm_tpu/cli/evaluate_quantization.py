@@ -27,7 +27,7 @@ def get_argparser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default=None,
                    choices=["bfloat16", "float32"])
     p.add_argument("--variants", type=str, default="f32,bf16,int8",
-                   help="comma-separated: f32,bf16,int8")
+                   help="comma-separated: f32,bf16,int8,int8_act")
     p.add_argument("--max_images", type=int, default=None)
     p.add_argument("--sequence_length", type=int, default=7)
     p.add_argument("--comparison_dir", type=str, default=None,

@@ -113,13 +113,100 @@ def cast_params(params: Any, dtype) -> Any:
     return jax.tree.map(cast, params)
 
 
+# --------------------------------------------------- activation calibration
+def _activation_sites(module) -> bool:
+    """Quantization sites: post-BN/ReLU block outputs (the tensors fbgemm
+    quantizes between fused conv blocks)."""
+    from ..models.layers import ConvBN, SeparableConvBN
+
+    try:
+        from ..models.xception import SepConvBN
+
+        types = (ConvBN, SeparableConvBN, SepConvBN)
+    except Exception:  # pragma: no cover
+        types = (ConvBN, SeparableConvBN)
+    return isinstance(module, types)
+
+
+def calibrate_activations(
+    model, params, batch_stats, batches, max_batches: int = 25
+) -> Dict[str, float]:
+    """Per-site symmetric activation scales from <=25 calibration batches
+    (the reference's PTQ calibration pass, evaluate_quantization.py:130-141).
+
+    Returns {module-path: scale} with scale = absmax/127.
+    """
+    import flax.linen as nn
+
+    absmax: Dict[str, float] = {}
+
+    def observer(next_fn, args, kwargs, context):
+        out = next_fn(*args, **kwargs)
+        if _activation_sites(context.module) and context.method_name == "__call__":
+            key = "/".join(context.module.path)
+            a = float(jnp.max(jnp.abs(out)))
+            absmax[key] = max(absmax.get(key, 0.0), a)
+        return out
+
+    for i, images in enumerate(batches):
+        if i >= max_batches:
+            break
+        with nn.intercept_methods(observer):
+            model.apply(
+                {"params": params, "batch_stats": batch_stats}, images, train=False
+            )
+    return {k: (v / 127.0 if v > 0 else 1.0) for k, v in absmax.items()}
+
+
+def make_act_quant_fn(model, batch_stats, params, scales: Dict[str, float]) -> Callable:
+    """Full PTQ simulation: int8 weights + fake-quantized activations at the
+    calibrated sites (numerics of an int8 engine; compute stays on the MXU
+    in bf16 pending Pallas int8 matmul kernels — see ROADMAP)."""
+    import flax.linen as nn
+
+    q, s = quantize_params_int8(params)
+
+    def quantizer(next_fn, args, kwargs, context):
+        out = next_fn(*args, **kwargs)
+        if _activation_sites(context.module) and context.method_name == "__call__":
+            key = "/".join(context.module.path)
+            if key in scales:
+                sc = scales[key]
+                out_f = out.astype(jnp.float32)
+                out = (jnp.clip(jnp.round(out_f / sc), -127, 127) * sc).astype(
+                    out.dtype
+                )
+        return out
+
+    @jax.jit
+    def fn(images):
+        deq = dequantize_params(q, s, jnp.bfloat16)
+        with nn.intercept_methods(quantizer):
+            logits = model.apply(
+                {"params": deq, "batch_stats": batch_stats}, images, train=False
+            )
+        return logits.astype(jnp.float32)
+
+    fn.stored_params = q
+    return fn
+
+
 # -------------------------------------------------------------- variants
-def make_variant_fn(model, batch_stats, params, name: str) -> Callable:
+def make_variant_fn(
+    model, batch_stats, params, name: str, act_scales: Optional[Dict[str, float]] = None
+) -> Callable:
     """Build a jitted full-precision/bf16/int8 inference fn.
 
-    name in {'f32', 'bf16', 'int8'}.  int8 stores int8 kernels in HBM and
-    dequantizes into bf16 right before each conv (weight-only PTQ).
+    name in {'f32', 'bf16', 'int8', 'int8_act'}.  'int8' stores int8
+    kernels in HBM and dequantizes into bf16 right before each conv
+    (weight-only PTQ); 'int8_act' additionally fake-quantizes activations
+    at calibrated sites (requires ``act_scales`` from
+    ``calibrate_activations``).
     """
+    if name == "int8_act":
+        if act_scales is None:
+            raise ValueError("int8_act requires act_scales (run calibration)")
+        return make_act_quant_fn(model, batch_stats, params, act_scales)
     if name == "f32":
         use_params = cast_params(params, jnp.float32)
     elif name == "bf16":
@@ -237,16 +324,34 @@ def compare_variants(
     sequence_length: int = 7,
     max_images: Optional[int] = None,
     comparison_dir: Optional[str] = None,
+    calibration_batches: int = 25,
 ) -> Dict[str, Dict[str, float]]:
     """The FP32-vs-quantized comparison report (reference
     evaluate_quantization.py:301-354 table: latency / size / metric deltas).
     With ``comparison_dir``, per-image variant comparison panels are written
-    (reference evaluate_quantization.py:156-184)."""
+    (reference evaluate_quantization.py:156-184).  The 'int8_act' variant
+    calibrates activation ranges on the first <=``calibration_batches``
+    eval images (reference :130-141)."""
     report: Dict[str, Dict[str, float]] = {}
     probe = None
     first_preds: Dict[str, Any] = {}
+
+    act_scales = None
+    if "int8_act" in variants:
+        from ..data.transforms import normalize
+
+        def calib_iter():
+            n = min(calibration_batches, len(dataset))
+            for i in range(n):
+                img = dataset[i][0]
+                yield normalize(jnp.asarray(img, jnp.float32)[None] / 255.0)
+
+        act_scales = calibrate_activations(
+            model, params, batch_stats, calib_iter(), calibration_batches
+        )
+
     for name in variants:
-        fn = make_variant_fn(model, batch_stats, params, name)
+        fn = make_variant_fn(model, batch_stats, params, name, act_scales=act_scales)
         stats = evaluate_variant(
             fn, dataset, sequence_length=sequence_length, max_images=max_images
         )

@@ -84,3 +84,49 @@ def test_compare_variants_report(small_model, tmp_path):
     assert report["int8"]["verdict"]
     table = format_report(report)
     assert "f32" in table and "int8" in table and "verdict" in table
+
+
+def test_activation_calibration_and_int8_act(small_model, tmp_path):
+    from iswm_tpu.data import write_dataset
+    from iswm_tpu.data.datasets import EvaluationDataset
+    from iswm_tpu.infer.quantization import (
+        calibrate_activations,
+        compare_variants,
+        make_variant_fn,
+    )
+    from iswm_tpu.data.transforms import normalize
+
+    model, params, batch_stats = small_model
+    root = write_dataset(str(tmp_path), n_train=1, n_val=4, size=(32, 32), seed=9)
+    ds = EvaluationDataset(root, split="val")
+
+    def batches():
+        for i in range(3):
+            yield normalize(jnp.asarray(ds[i][0], jnp.float32)[None] / 255.0)
+
+    scales = calibrate_activations(model, params, batch_stats, batches(), 3)
+    assert scales, "no activation sites observed"
+    assert all(s > 0 for s in scales.values())
+    # sites are ConvBN paths
+    assert any("stem" in k for k in scales)
+
+    fn = make_variant_fn(model, batch_stats, params, "int8_act", act_scales=scales)
+    x = normalize(jnp.asarray(ds[0][0], jnp.float32)[None] / 255.0)
+    out = np.asarray(fn(x))
+    assert out.shape == (1, 32, 32, 2) and np.isfinite(out).all()
+
+    # full report including the calibrated variant
+    report = compare_variants(
+        model, params, batch_stats, ds,
+        variants=("f32", "int8_act"), sequence_length=3, max_images=4,
+    )
+    assert "int8_act" in report
+    assert report["int8_act"]["size_reduction"] > 2.5
+
+
+def test_int8_act_requires_scales(small_model):
+    from iswm_tpu.infer.quantization import make_variant_fn
+
+    model, params, batch_stats = small_model
+    with pytest.raises(ValueError, match="calibration"):
+        make_variant_fn(model, batch_stats, params, "int8_act")
