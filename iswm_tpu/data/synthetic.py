@@ -72,6 +72,82 @@ def generate_scene(
     return np.stack([img] * 3, axis=-1), mask
 
 
+def generate_sequence(
+    rng: np.random.Generator,
+    length: int = 7,
+    size: Tuple[int, int] = (200, 200),
+    wave_probability: float = 0.8,
+):
+    """A time-evolving scene sequence: the wave packet propagates smoothly
+    across frames (constant drift + phase advance), so the 7-frame temporal
+    metrics (stability/motion/transitions) see realistic dynamics instead
+    of independent scenes.  Yields ``length`` (image, mask) pairs."""
+    h, w = size
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+
+    base = 90 + 40 * (xx / w) + 25 * np.sin(2 * np.pi * yy / h * rng.uniform(0.5, 2))
+    has_wave = rng.random() < wave_probability
+    n_stripes = int(rng.integers(2, 5))
+    x0 = rng.uniform(0.25 * w, 0.6 * w)
+    amp = rng.uniform(0.05, 0.12) * w
+    freq = rng.uniform(0.5, 1.5)
+    phase = rng.uniform(0, 2 * np.pi)
+    spacing = rng.uniform(5, 9)
+    thickness = rng.uniform(1.5, 3.0)
+    drift = rng.uniform(1.0, 4.0)  # px/frame eastward propagation
+    r0 = int(rng.uniform(0, 0.25) * h)
+    r1 = int(rng.uniform(0.75, 1.0) * h)
+
+    out = []
+    for t in range(length):
+        img = base + rng.normal(0, 6, (h, w)).astype(np.float32)
+        mask = np.zeros((h, w), dtype=np.uint8)
+        if has_wave:
+            for s in range(n_stripes):
+                cx_of_y = (
+                    x0
+                    + drift * t
+                    + s * spacing
+                    + amp * np.sin(2 * np.pi * freq * yy[:, 0] / h + phase + 0.3 * s)
+                )
+                dist = np.abs(xx - cx_of_y[:, None])
+                stripe = dist < (thickness * (1.0 - 0.1 * s))
+                img = np.where(stripe, img + rng.uniform(35, 65) * (1 - 0.15 * s), img)
+                mask |= stripe.astype(np.uint8)
+            band = np.zeros((h, 1), dtype=bool)
+            band[r0:r1] = True
+            mask = (mask & band).astype(np.uint8)
+        out.append((np.stack([np.clip(img, 0, 255).astype(np.uint8)] * 3, -1), mask))
+    return out
+
+
+def write_sequence_dataset(
+    root: str,
+    n_sequences: int = 8,
+    length: int = 7,
+    size: Tuple[int, int] = (200, 200),
+    seed: int = 0,
+    split: str = "val",
+) -> str:
+    """Materialize temporally-coherent sequences; filenames sort in time
+    order within and across sequences (the validation driver's sliding
+    window then sees smooth motion)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    img_dir = Path(root) / split / "imgs"
+    mask_dir = Path(root) / split / "masks"
+    img_dir.mkdir(parents=True, exist_ok=True)
+    mask_dir.mkdir(parents=True, exist_ok=True)
+    for s in range(n_sequences):
+        frames = generate_sequence(rng, length=length, size=size)
+        for t, (img, mask) in enumerate(frames):
+            name = f"H09_{20250101 + s:08d}_{t * 10:04d}"
+            Image.fromarray(img).save(img_dir / f"{name}.png")
+            Image.fromarray(mask * 255).save(mask_dir / f"{name}_mask.png")
+    return root
+
+
 def write_dataset(
     root: str,
     n_train: int = 64,

@@ -170,3 +170,32 @@ def test_device_prefetch_places_on_mesh(dataset_root):
     # raised in the prefetch thread must surface at the consumer
     with pytest.raises(ValueError, match="divisible"):
         next(it)
+
+
+def test_sequence_generator_temporal_coherence():
+    from iswm_tpu.data.synthetic import generate_sequence
+    from iswm_tpu.metrics import calculate_stability
+
+    rng = np.random.default_rng(11)
+    # find a sequence with a wave
+    for _ in range(10):
+        frames = generate_sequence(rng, length=4, size=(96, 96))
+        if frames[0][1].any():
+            break
+    assert frames[0][1].any()
+    # consecutive frames have high front stability (smooth drift)
+    stab = calculate_stability(frames[1][1], frames[0][1])
+    assert stab > 0.5
+    # masks differ between frames (the wave moves)
+    assert not np.array_equal(frames[0][1], frames[-1][1])
+
+
+def test_write_sequence_dataset(tmp_path):
+    from iswm_tpu.data.synthetic import write_sequence_dataset
+    from iswm_tpu.data import BinarySegmentation
+
+    root = write_sequence_dataset(str(tmp_path), n_sequences=2, length=3,
+                                  size=(48, 48), seed=5)
+    ds = BinarySegmentation(root, split="val")
+    assert len(ds) == 6
+    assert ds.images == sorted(ds.images)

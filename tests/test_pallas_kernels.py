@@ -93,3 +93,48 @@ def test_sharded_fused_ce_matches_reference():
     g_got = jax.jit(jax.grad(lambda lg: loss_fn(lg, s_labels, cw)))(s_logits)
     g_ref = jax.grad(lambda lg: weighted_cross_entropy_loss(lg, labels, cw))(logits)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), atol=1e-6)
+
+
+def test_int8_matmul_matches_reference():
+    from iswm_tpu.ops.pallas.int8_matmul import int8_matmul
+
+    rng = np.random.default_rng(9)
+    m, k, n = 100, 256, 128  # m deliberately unaligned
+    x = jnp.asarray(rng.normal(size=(m, k)), jnp.float32)
+    w = rng.normal(size=(k, n)).astype(np.float32)
+    w_amax = np.abs(w).max(axis=0)
+    w_scale = np.where(w_amax > 0, w_amax / 127.0, 1.0)
+    w_q = np.clip(np.round(w / w_scale), -127, 127).astype(np.int8)
+    x_scale = float(np.abs(np.asarray(x)).max() / 127.0)
+
+    got = int8_matmul(x, jnp.asarray(w_q), jnp.asarray(w_scale), x_scale,
+                      interpret=True)
+    # reference: quantize x the same way, exact integer matmul, dequant
+    x_q = np.clip(np.round(np.asarray(x) / x_scale), -127, 127)
+    ref = (x_q @ w_q.astype(np.int64)) * x_scale * w_scale
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5)
+    # and close to the unquantized matmul (8-bit noise bound)
+    dense = np.asarray(x) @ w
+    err = np.abs(np.asarray(got) - dense).max() / np.abs(dense).max()
+    assert err < 0.05
+
+
+def test_quantized_conv1x1_matches_lax_conv():
+    from iswm_tpu.ops.pallas.int8_matmul import quantized_conv1x1
+    from iswm_tpu.infer.quantization import quantize_params_int8
+
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, 256)), jnp.float32)
+    params = {"proj": {"kernel": jnp.asarray(rng.normal(size=(1, 1, 256, 128)),
+                                             jnp.float32)}}
+    q, s = quantize_params_int8(params)
+    x_scale = float(jnp.max(jnp.abs(x))) / 127.0
+    got = quantized_conv1x1(x, q["proj"]["kernel"], s["proj"]["kernel"],
+                            x_scale, interpret=True)
+    dense = jax.lax.conv_general_dilated(
+        x, params["proj"]["kernel"], (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    rel = float(jnp.max(jnp.abs(got - dense)) / jnp.max(jnp.abs(dense)))
+    assert got.shape == (2, 8, 16, 128)
+    assert rel < 0.05
