@@ -29,7 +29,6 @@ A100_TRAIN_TILES_PER_SEC = 95.0  # documented estimate, see module docstring
 
 def build(batch: int, size: int, backbone: str = "resnet50"):
     from iswm_tpu.config import Config
-    from iswm_tpu.data.transforms import AugmentConfig
     from iswm_tpu.models import build_model
     from iswm_tpu.ops import make_loss_fn
     from iswm_tpu.train.optim import make_optimizer

@@ -7,7 +7,7 @@ train.py:388-410): one pass over the training labels accumulating
 
 from __future__ import annotations
 
-from typing import Iterable, Tuple
+from typing import Iterable
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ filename, reference train.py:673).
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Tuple
 

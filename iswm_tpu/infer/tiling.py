@@ -20,8 +20,7 @@ Design (all static shapes under jit for a given scene size):
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

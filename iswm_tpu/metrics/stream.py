@@ -10,7 +10,7 @@ metrics/stream_metrics.py:7-196).  The composite weighted score —
 
 from __future__ import annotations
 
-from typing import Dict, Mapping, Optional, Sequence
+from typing import Dict, Mapping, Optional
 
 import numpy as np
 

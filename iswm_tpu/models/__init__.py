@@ -12,7 +12,7 @@ Factory names follow the reference convention:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 

@@ -14,7 +14,7 @@ Conventions (TPU-native, NOT a torch port):
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple, Union
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax

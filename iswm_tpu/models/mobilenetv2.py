@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import ConvBN, kaiming_normal
+from .layers import ConvBN
 
 Dtype = Any
 

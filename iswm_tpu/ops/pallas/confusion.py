@@ -13,8 +13,6 @@ Generalization to n_classes > 2 uses the jnp one-hot matmul path in
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -28,7 +28,7 @@ num_classes == 2; falls back to the jnp path otherwise.  Set
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,8 +19,6 @@ int32 on the MXU (preferred_element_type).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

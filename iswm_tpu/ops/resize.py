@@ -10,7 +10,6 @@ always resized NEAREST (reference utils/ext_transforms.py:137-140).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def resize_bilinear(x: jax.Array, size: tuple[int, int]) -> jax.Array:

@@ -24,7 +24,6 @@ import json
 import os
 import shutil
 import time
-from pathlib import Path
 from typing import Any, Optional, Tuple
 
 import jax

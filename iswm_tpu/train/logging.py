@@ -14,7 +14,7 @@ import json
 import os
 import time
 from collections import defaultdict
-from typing import Dict, Mapping, Optional
+from typing import Dict, Mapping
 
 import numpy as np
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Callable, Dict, Iterator, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,6 @@ from ..data import (
     batch_iterator,
     calculate_class_weights,
     decode_target,
-    denormalize,
     write_dataset,
 )
 from ..metrics import StreamMetrics, weighted_score
@@ -39,7 +38,7 @@ from ..models import build_model
 from ..ops import make_loss_fn
 from ..parallel.mesh import make_mesh
 from . import checkpoint as ckpt_lib
-from .best_score import initialize_best_score, is_best_score, update_best_score
+from .best_score import is_best_score, update_best_score
 from .logging import MetricsLogger, try_setup_mlflow
 from .optim import make_optimizer
 from .step import TrainState, create_train_state, make_eval_step, make_train_step

@@ -10,7 +10,7 @@ suits headless TPU pods; the MLflow/JSONL series in
 from __future__ import annotations
 
 import os
-from typing import Mapping, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
