@@ -62,6 +62,9 @@ class DataConfig:
     synthetic_train_size: int = 64
     synthetic_val_size: int = 16
     synthetic_image_size: int = 200
+    # validation split as temporally-coherent sequences (exercises the
+    # 7-frame temporal metrics with real wave motion)
+    synthetic_sequence_val: bool = False
     cache_in_memory: bool = True  # keep decoded arrays in host RAM
 
 

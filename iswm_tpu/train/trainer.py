@@ -63,13 +63,29 @@ class Trainer:
         if cfg.data.synthetic:
             root = os.path.join(cfg.data.data_root, "synthetic")
             if not os.path.isdir(os.path.join(root, "train")):
+                n_val = 0 if cfg.data.synthetic_sequence_val else cfg.data.synthetic_val_size
                 write_dataset(
                     root,
                     n_train=cfg.data.synthetic_train_size,
-                    n_val=cfg.data.synthetic_val_size,
+                    n_val=n_val,
                     size=(cfg.data.synthetic_image_size,) * 2,
                     seed=cfg.train.random_seed,
                 )
+                if cfg.data.synthetic_sequence_val:
+                    from ..data.synthetic import write_sequence_dataset
+
+                    write_sequence_dataset(
+                        root,
+                        n_sequences=max(
+                            1,
+                            cfg.data.synthetic_val_size
+                            // cfg.metrics.sequence_length,
+                        ),
+                        length=cfg.metrics.sequence_length,
+                        size=(cfg.data.synthetic_image_size,) * 2,
+                        seed=cfg.train.random_seed + 1,
+                        split="val",
+                    )
             data_root = root
         else:
             data_root = cfg.data.data_root

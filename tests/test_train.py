@@ -200,3 +200,40 @@ def test_fused_loss_selection():
     # focal never fuses
     fn = make_loss_fn("focal_loss", fused="always")
     assert fn.func.__name__ == "focal_loss"
+
+
+def test_trainer_sequence_val(tmp_path):
+    cfg = Config()
+    cfg.model.backbone = "resnet18"
+    cfg.model.compute_dtype = "float32"
+    cfg.data.synthetic = True
+    cfg.data.synthetic_sequence_val = True
+    cfg.data.data_root = str(tmp_path / "data")
+    cfg.data.synthetic_train_size = 8
+    cfg.data.synthetic_val_size = 6
+    cfg.data.synthetic_image_size = 40
+    cfg.data.crop_size = 32
+    cfg.data.batch_size = 8
+    cfg.data.val_batch_size = 4
+    cfg.train.total_itrs = 2
+    cfg.train.val_interval = 2
+    cfg.train.print_interval = 1
+    cfg.train.latest_interval = 1
+    cfg.train.checkpoints_dir = str(tmp_path / "ckpt")
+    cfg.train.val_results_dir = str(tmp_path / "vr")
+    cfg.train.metrics_plots_dir = str(tmp_path / "plots")
+    cfg.train.log_dir = str(tmp_path / "logs")
+    cfg.metrics.sequence_length = 3
+    trainer = Trainer(cfg)
+    # sequence val: 2 sequences x 3 frames
+    assert len(trainer.val_ds) == 6
+    trainer.fit()
+    # rolling latest checkpoint exists alongside the best one
+    assert os.path.isdir(os.path.join(cfg.train.checkpoints_dir, "latest"))
+
+    # auto-resume from the rolling checkpoint
+    cfg2 = cfg
+    cfg2.train.total_itrs = 3
+    cfg2.train.auto_resume = True
+    trainer2 = Trainer(cfg2)
+    assert int(trainer2.state.step) == 2
