@@ -83,6 +83,55 @@ def int8_matmul(
     return out[:m]
 
 
+def _kernel_prequant(x_ref, w_ref, wscale_ref, xscale_ref, out_ref):
+    acc = jax.lax.dot_general(
+        x_ref[:],
+        w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out_ref[:] = acc.astype(jnp.float32) * xscale_ref[0] * wscale_ref[:]
+
+
+def int8_matmul_prequant(
+    x_q: jax.Array,  # [M, K] int8 (pre-quantized activations)
+    w_q: jax.Array,  # [K, N] int8
+    w_scale: jax.Array,  # [N]
+    x_scale,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """int8 matmul with activations already quantized — isolates the MXU
+    int8 path from the VPU quantize cost (see ROADMAP perf note)."""
+    m, k = x_q.shape
+    _, n = w_q.shape
+    pad_m = (-m) % _TILE_M
+    if pad_m:
+        x_q = jnp.pad(x_q, ((0, pad_m), (0, 0)))
+    rows = x_q.shape[0]
+    out = pl.pallas_call(
+        _kernel_prequant,
+        grid=(rows // _TILE_M,),
+        in_specs=[
+            pl.BlockSpec((_TILE_M, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (_TILE_M, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, n), jnp.float32),
+        interpret=interpret,
+    )(
+        x_q,
+        w_q,
+        jnp.asarray(w_scale, jnp.float32).reshape(1, n),
+        jnp.asarray([x_scale], jnp.float32),
+    )
+    return out[:m]
+
+
 def quantized_conv1x1(
     x: jax.Array,  # [B, H, W, Cin] float
     w_q: jax.Array,  # [1, 1, Cin, Cout] int8 (HWIO from quantize_params_int8)

@@ -138,3 +138,20 @@ def test_quantized_conv1x1_matches_lax_conv():
     rel = float(jnp.max(jnp.abs(got - dense)) / jnp.max(jnp.abs(dense)))
     assert got.shape == (2, 8, 16, 128)
     assert rel < 0.05
+
+
+def test_int8_matmul_prequant_matches():
+    from iswm_tpu.ops.pallas.int8_matmul import int8_matmul_prequant
+
+    rng = np.random.default_rng(12)
+    m, k, n = 96, 128, 128
+    x_q = rng.integers(-127, 128, (m, k)).astype(np.int8)
+    w_q = rng.integers(-127, 128, (k, n)).astype(np.int8)
+    w_scale = rng.random(n).astype(np.float32) * 0.01 + 0.001
+    x_scale = 0.02
+    got = int8_matmul_prequant(
+        jnp.asarray(x_q), jnp.asarray(w_q), jnp.asarray(w_scale), x_scale,
+        interpret=True,
+    )
+    ref = (x_q.astype(np.int64) @ w_q.astype(np.int64)) * x_scale * w_scale
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5)
