@@ -24,31 +24,28 @@ import numpy as np
 
 from ..metrics import StreamMetrics
 
-# Tiers from the reference diagnostic (quick_diagnostic.py verdict bands).
-DIFF_TIERS = (
-    (1e-5, "excellent: outputs numerically identical"),
-    (1e-3, "good: differences within expected low-precision tolerance"),
-    (1e-1, "warning: noticeable divergence — inspect calibration"),
-    (float("inf"), "broken: outputs disagree materially"),
+# Tiers in the spirit of the reference diagnostic (quick_diagnostic.py
+# verdict bands), applied at the decision level: what fraction of output
+# pixels change their argmax class vs the reference variant.  Raw logit
+# diffs mislead across precisions (bf16 logits differ ~1% everywhere while
+# every mask pixel agrees); mask agreement is what serving actually ships.
+AGREEMENT_TIERS = (
+    (0.999, "excellent: masks effectively identical"),
+    (0.99, "good: sub-percent mask disagreement"),
+    (0.95, "warning: noticeable mask divergence — inspect calibration"),
+    (0.0, "broken: masks disagree materially"),
 )
 
 
 def logit_diff_verdict(a: np.ndarray, b: np.ndarray) -> Tuple[float, str]:
-    """Normalized max logit difference -> (value, tiered verdict).
-
-    The reference diagnostic compares same-precision engines with absolute
-    tiers (quick_diagnostic.py); here variants differ in precision by
-    design, so the difference is normalized by the reference's logit
-    magnitude (floor 1.0) before applying the tiers.
-    """
+    """(mask agreement fraction, tiered verdict) between two logit maps."""
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
-    scale = max(1.0, float(np.max(np.abs(a))))
-    diff = float(np.max(np.abs(a - b))) / scale
-    for bound, verdict in DIFF_TIERS:
-        if diff < bound:
-            return diff, verdict
-    return diff, DIFF_TIERS[-1][1]
+    agree = float((a.argmax(-1) == b.argmax(-1)).mean())
+    for bound, verdict in AGREEMENT_TIERS:
+        if agree >= bound:
+            return agree, verdict
+    return agree, AGREEMENT_TIERS[-1][1]
 
 
 # ----------------------------------------------------------- int8 weights
@@ -364,9 +361,11 @@ def compare_variants(
         first_preds[name] = np.argmax(logits[0], axis=-1)
         if probe is None:
             probe = logits
-            stats["logit_diff"], stats["verdict"] = 0.0, "reference variant"
+            stats["mask_agreement"], stats["verdict"] = 1.0, "reference variant"
         else:
-            stats["logit_diff"], stats["verdict"] = logit_diff_verdict(probe, logits)
+            stats["mask_agreement"], stats["verdict"] = logit_diff_verdict(
+                probe, logits
+            )
         report[name] = stats
 
     if comparison_dir is not None:
@@ -392,14 +391,14 @@ def compare_variants(
 
 def format_report(report: Dict[str, Dict[str, float]]) -> str:
     lines = [
-        f"{'variant':<8}{'lat ms':>9}{'size MB':>10}{'MIoU':>8}{'FIoU':>8}"
-        f"{'FF1':>8}{'dMIoU':>8}{'speedup':>9}  verdict"
+        f"{'variant':<9}{'lat ms':>9}{'size MB':>10}{'MIoU':>8}{'FIoU':>8}"
+        f"{'FF1':>8}{'dMIoU':>8}{'speedup':>9}{'agree':>8}  verdict"
     ]
     for name, r in report.items():
         lines.append(
-            f"{name:<8}{r['avg_latency_ms']:>9.2f}{r['size_mb']:>10.2f}"
+            f"{name:<9}{r['avg_latency_ms']:>9.2f}{r['size_mb']:>10.2f}"
             f"{r['miou']:>8.4f}{r['fiou']:>8.4f}{r['ff1']:>8.4f}"
             f"{r.get('miou_delta', 0.0):>8.4f}{r.get('speedup', 1.0):>9.2f}"
-            f"  {r.get('verdict', '')}"
+            f"{r.get('mask_agreement', 1.0):>8.4f}  {r.get('verdict', '')}"
         )
     return "\n".join(lines)

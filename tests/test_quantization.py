@@ -29,11 +29,21 @@ def small_model():
 
 
 def test_verdict_tiers():
-    a = np.zeros((4, 4))
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(100, 100, 2))
     assert logit_diff_verdict(a, a)[1].startswith("excellent")
-    assert logit_diff_verdict(a, a + 1e-4)[1].startswith("good")
-    assert logit_diff_verdict(a, a + 1e-2)[1].startswith("warning")
-    assert logit_diff_verdict(a, a + 1.0)[1].startswith("broken")
+
+    def flip(frac, seed=1):
+        b = a.copy()
+        r = np.random.default_rng(seed)
+        idx = r.choice(100 * 100, int(frac * 100 * 100), replace=False)
+        flat = b.reshape(-1, 2)
+        flat[idx] = flat[idx][:, ::-1] + 10  # force argmax change
+        return b
+
+    assert logit_diff_verdict(a, flip(0.005))[1].startswith("good")
+    assert logit_diff_verdict(a, flip(0.03))[1].startswith("warning")
+    assert logit_diff_verdict(a, flip(0.2))[1].startswith("broken")
 
 
 def test_int8_quantization_roundtrip(small_model):
@@ -63,8 +73,8 @@ def test_variant_fns_agree(small_model):
     int8 = make_variant_fn(model, batch_stats, params, "int8")
     a, b = np.asarray(f32(x)), np.asarray(int8(x))
     assert a.shape == b.shape == (1, 32, 32, 2)
-    diff, verdict = logit_diff_verdict(a, b)
-    assert diff < 1.0  # int8 weights keep the model in the same regime
+    agreement, verdict = logit_diff_verdict(a, b)
+    assert agreement > 0.8  # int8 weights keep most decisions intact
 
 
 def test_compare_variants_report(small_model, tmp_path):
