@@ -64,6 +64,7 @@ def get_argparser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoints_dir", type=str, default=None)
     p.add_argument("--val_results_dir", type=str, default=None)
     p.add_argument("--metrics_plots_dir", type=str, default=None)
+    p.add_argument("--log_dir", type=str, default=None)
     p.add_argument("--save_confidence_map", action="store_true")
     p.add_argument("--enable_mlflow", action="store_true")
 
@@ -106,6 +107,7 @@ def build_config(args: argparse.Namespace) -> Config:
         ("checkpoints_dir", ("train", "checkpoints_dir")),
         ("val_results_dir", ("train", "val_results_dir")),
         ("metrics_plots_dir", ("train", "metrics_plots_dir")),
+        ("log_dir", ("train", "log_dir")),
     ):
         v = getattr(args, flag)
         if v is not None:
