@@ -14,6 +14,8 @@ Conventions (TPU-native, NOT a torch port):
 
 from __future__ import annotations
 
+import functools
+
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -54,6 +56,23 @@ class ConvBN(nn.Module):
         pad = self.padding
         if pad is None:
             pad = [torch_conv_padding(self.kernel_size, self.dilation)] * 2
+        if (
+            self.kernel_size == 3
+            and self.dilation >= 6
+            and self.strides == 1
+            and self.groups == 1
+            and self.padding is None
+        ):
+            # Large-rate atrous conv: valid-tap shifted matmuls beat the
+            # padded lax.conv on TPU (see ShiftedDilatedConv).
+            x = ShiftedDilatedConv(
+                self.features,
+                self.dilation,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="conv",
+            )(x)
+            return self._bn_relu(x, train)
         x = nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
@@ -67,6 +86,9 @@ class ConvBN(nn.Module):
             param_dtype=self.param_dtype,
             name="conv",
         )(x)
+        return self._bn_relu(x, train)
+
+    def _bn_relu(self, x: jax.Array, train: bool) -> jax.Array:
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,
@@ -120,6 +142,226 @@ class SeparableConvBN(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="pointwise",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=self.bn_epsilon,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="bn",
+        )(x)
+        if self.use_relu:
+            x = nn.relu(x)
+        return x
+
+
+def _shifted_dilated_taps(x: jax.Array, kernel: jax.Array, d: int) -> jax.Array:
+    """sum over valid taps of shift(x @ W_tap); see ShiftedDilatedConv."""
+    b, h, w, c = x.shape
+    terms = []
+    for i, dy in enumerate((-d, 0, d)):
+        for j, dx in enumerate((-d, 0, d)):
+            ys, ye = max(0, -dy), h - max(0, dy)
+            xs, xe = max(0, -dx), w - max(0, dx)
+            if ye <= ys or xe <= xs:
+                continue  # tap entirely in padding
+            src = jax.lax.slice(x, (0, ys + dy, xs + dx, 0), (b, ye + dy, xe + dx, c))
+            t = jax.lax.dot_general(src, kernel[i, j], (((3,), (0,)), ((), ())))
+            t = jax.lax.pad(
+                t,
+                jnp.zeros((), t.dtype),
+                ((0, 0, 0), (ys, h - ye, 0), (xs, w - xe, 0), (0, 0, 0)),
+            )
+            terms.append(t)
+    return sum(terms)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def dilated_conv3x3(x: jax.Array, kernel: jax.Array, d: int) -> jax.Array:
+    """3x3 atrous conv, padding=d, stride 1, as valid-tap shifted matmuls.
+
+    Custom VJP: the input gradient of the tap decomposition would be 9
+    full-size padded accumulations in the wide C_in domain (profiled at
+    ~39 TFLOP/s); XLA's native transposed conv does that accumulation in
+    one pass, so dgrad uses lax.conv with a rotated kernel while wgrad
+    keeps the valid-tap matmuls (~160 TFLOP/s).
+    """
+    return _shifted_dilated_taps(x, kernel, d)
+
+
+def _dilated_fwd(x, kernel, d):
+    return _shifted_dilated_taps(x, kernel, d), (x, kernel)
+
+
+def _dilated_bwd(d, res, g):
+    x, kernel = res
+    b, h, w, c = x.shape
+    # dgrad: dx = conv(g, rot180(W)^T) with the same dilation.
+    k_rot = jnp.flip(kernel, axis=(0, 1)).transpose(0, 1, 3, 2)
+    dx = jax.lax.conv_general_dilated(
+        g, k_rot, (1, 1), [(d, d), (d, d)], rhs_dilation=(d, d),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+    # wgrad per valid tap: dW[i,j] = src_tap^T @ g_valid.
+    dk_taps = []
+    for i, dy in enumerate((-d, 0, d)):
+        row = []
+        for j, dx_ in enumerate((-d, 0, d)):
+            ys, ye = max(0, -dy), h - max(0, dy)
+            xs, xe = max(0, -dx_), w - max(0, dx_)
+            if ye <= ys or xe <= xs:
+                row.append(jnp.zeros((c, kernel.shape[-1]), kernel.dtype))
+                continue
+            src = jax.lax.slice(
+                x, (0, ys + dy, xs + dx_, 0), (b, ye + dy, xe + dx_, c)
+            )
+            gv = jax.lax.slice(g, (0, ys, xs, 0), (b, ye, xe, g.shape[-1]))
+            dw = jax.lax.dot_general(
+                src, gv, (((0, 1, 2), (0, 1, 2)), ((), ())),
+                preferred_element_type=kernel.dtype,
+            )
+            row.append(dw)
+        dk_taps.append(jnp.stack(row))
+    dk = jnp.stack(dk_taps)
+    return dx, dk
+
+
+dilated_conv3x3.defvjp(_dilated_fwd, _dilated_bwd)
+
+
+class ShiftedDilatedConv(nn.Module):
+    """3x3 atrous conv computed as <=9 valid-region shifted matmuls.
+
+    At the reference's ASPP rates (6/12/18 on an OS=16 feature map of
+    32x32, reference _deeplab.py:161-166) the dilation is comparable to
+    the map extent, so most taps land mostly in padding: XLA's conv
+    computes all 9 taps over the padded extent anyway (profiled at 69-128
+    TFLOP/s, logs/profile/attribution.txt), while only ~39% of the tap
+    area is valid at d=18.  Computing each tap as a dot_general over its
+    valid input window skips the padding FLOPs entirely and keeps every
+    matmul MXU-shaped (rows = B*valid_h*valid_w, K = C_in, N = C_out).
+
+    Math matches Conv2d(3,3,dilation=d,padding=d,bias=False) exactly (the
+    skipped taps multiply zeros); summation order differs, so bf16 outputs
+    can differ in the last bit vs the lax.conv path.
+
+    The parameter is the canonical [3,3,C,F] ``kernel`` so checkpoint
+    import and initialization are identical to nn.Conv.
+    """
+
+    features: int
+    dilation: int
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        kernel = self.param(
+            "kernel", kaiming_normal, (3, 3, c, self.features), self.param_dtype
+        )
+        return dilated_conv3x3(
+            x.astype(self.dtype), kernel.astype(self.dtype), self.dilation
+        )
+
+
+class PackedStrided2Conv(nn.Module):
+    """Odd-k, stride-2 conv evaluated as a stride-1 conv on 2x2
+    space-to-depth packed input (the MLPerf-ResNet stem trick).
+
+    Motivation: a stride-2 conv on a 3-channel image leaves the MXU's
+    128-deep contraction almost empty — profiled at 7 TFLOP/s on v5e for
+    the ResNet stem (logs/profile/attribution.txt).  Packing 2x2 pixels
+    into channels quadruples the contraction depth and halves the spatial
+    extent; with the kernel repacked to match, the math is bit-identical
+    (the extra taps multiply explicit zeros).
+
+    Derivation (per spatial axis, k odd, pad p=k//2, stride 2):
+      out[i] = sum_ky W[ky] * x[2i - p + ky].  Writing x[2u+d] for the
+      packed input (d in {0,1}) gives ky = 2(u-i) + d + p, so output i
+      reads packed taps u-i in [-(p+1)//2, ...], a K=(k+2)//2 tap stride-1
+      conv with left pad (p+1)//2 and the kernel repacked via
+      ky = 2*ku + d - 1 (after one leading zero row/col of padding).
+
+    The parameter keeps the canonical [k,k,C,F] shape under the name
+    ``kernel`` so torch checkpoint import (compat/torch_import.py) and
+    initialization are unchanged from a plain nn.Conv.
+    """
+
+    features: int
+    kernel_size: int = 7
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.kernel_size
+        assert k % 2 == 1, "packed stem requires odd kernel"
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", kaiming_normal, (k, k, c, self.features), self.param_dtype
+        )
+
+        b, h, w, _ = x.shape
+        if h % 2 or w % 2:  # odd extents can't pack; fall back to plain conv
+            pad = torch_conv_padding(k)
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                (2, 2),
+                [pad, pad],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        ku = (k + 2) // 2  # packed tap count per axis
+        pad_l = (k // 2 + 1) // 2
+        pad_r = ku - 1 - pad_l
+        # kernel: [k,k,C,F] -> zero rows/cols to 2*ku (one leading iff
+        # p=k//2 is odd, from ky = 2*ku + d + p - 2*pad_l) ->
+        # [ku,2,ku,2,C,F] -> [ku,ku,(2,2,C),F]
+        front = (k // 2) % 2
+        kk = jnp.pad(
+            kernel,
+            ((front, 2 * ku - front - k), (front, 2 * ku - front - k),
+             (0, 0), (0, 0)),
+        )
+        kk = kk.reshape(ku, 2, ku, 2, c, self.features)
+        kk = kk.transpose(0, 2, 1, 3, 4, 5).reshape(ku, ku, 4 * c, self.features)
+        # input: [B,H,W,C] -> [B,H/2,W/2,(2,2,C)]
+        xp = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        return jax.lax.conv_general_dilated(
+            xp.astype(self.dtype),
+            kk.astype(self.dtype),
+            (1, 1),
+            [(pad_l, pad_r), (pad_l, pad_r)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
+class PackedStemConvBN(nn.Module):
+    """Drop-in replacement for ``ConvBN(features, k, strides=2)`` on the
+    image input, using the space-to-depth packed conv.  Child module names
+    (``conv``, ``bn``) and parameter shapes match ConvBN exactly."""
+
+    features: int
+    kernel_size: int = 7
+    use_relu: bool = True
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    bn_momentum: float = 0.9
+    bn_epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = PackedStrided2Conv(
+            self.features,
+            self.kernel_size,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train,

@@ -103,3 +103,86 @@ def test_factory_by_name():
     variables = m.init({"params": jax.random.key(0)}, x, train=False)
     out = m.apply(variables, x, train=False)
     assert out.shape == (1, 32, 32, 3)
+
+
+class TestPackedStem:
+    """PackedStrided2Conv must be bit-equivalent (up to f32 reassociation)
+    to the plain odd-k stride-2 torch-geometry conv it replaces."""
+
+    @pytest.mark.parametrize("k,h,w,c", [(7, 64, 64, 3), (3, 32, 48, 3),
+                                         (5, 32, 32, 4), (7, 33, 33, 3)])
+    def test_matches_plain_conv(self, k, h, w, c):
+        from iswm_tpu.models.layers import PackedStrided2Conv, torch_conv_padding
+
+        rng = np.random.default_rng(k * h + w)
+        x = jnp.asarray(rng.normal(size=(2, h, w, c)), jnp.float32)
+        mod = PackedStrided2Conv(16, k, dtype=jnp.float32)
+        params = mod.init(jax.random.key(0), x)
+        packed = mod.apply(params, x)
+
+        pad = torch_conv_padding(k)
+        ref = jax.lax.conv_general_dilated(
+            x, params["params"]["kernel"], (2, 2), [pad, pad],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        assert packed.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(packed), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_resnet_stem_param_shape_unchanged(self):
+        """Checkpoint-import compatibility: the stem kernel stays [7,7,3,64]."""
+        from iswm_tpu.models.resnet import ResNet
+
+        model = ResNet(arch="resnet18", dtype=jnp.float32)
+        variables = model.init(jax.random.key(0),
+                               jnp.zeros((1, 64, 64, 3), jnp.float32),
+                               train=False)
+        kernel = variables["params"]["stem"]["conv"]["kernel"]
+        assert kernel.shape == (7, 7, 3, 64)
+
+
+class TestShiftedDilatedConv:
+    """Valid-tap shifted-matmul atrous conv must match lax.conv exactly."""
+
+    @pytest.mark.parametrize("d,h,w", [(6, 32, 32), (12, 32, 32), (18, 32, 32),
+                                       (18, 16, 16), (36, 32, 32), (6, 64, 48)])
+    def test_matches_lax_conv(self, d, h, w):
+        from iswm_tpu.models.layers import ShiftedDilatedConv
+
+        rng = np.random.default_rng(d + h)
+        x = jnp.asarray(rng.normal(size=(2, h, w, 8)), jnp.float32)
+        mod = ShiftedDilatedConv(16, d, dtype=jnp.float32)
+        params = mod.init(jax.random.key(0), x)
+        got = mod.apply(params, x)
+
+        ref = jax.lax.conv_general_dilated(
+            x, params["params"]["kernel"], (1, 1), [(d, d), (d, d)],
+            rhs_dilation=(d, d),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_grad_matches(self):
+        from iswm_tpu.models.layers import ShiftedDilatedConv
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(1, 32, 32, 4)), jnp.float32)
+        mod = ShiftedDilatedConv(8, 18, dtype=jnp.float32)
+        params = mod.init(jax.random.key(0), x)
+
+        def loss_shifted(k):
+            return jnp.sum(mod.apply({"params": {"kernel": k}}, x) ** 2)
+
+        def loss_conv(k):
+            y = jax.lax.conv_general_dilated(
+                x, k, (1, 1), [(18, 18), (18, 18)], rhs_dilation=(18, 18),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return jnp.sum(y ** 2)
+
+        k0 = params["params"]["kernel"]
+        g1 = jax.grad(loss_shifted)(k0)
+        g2 = jax.grad(loss_conv)(k0)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-4)
