@@ -3,12 +3,16 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "tiles/sec/chip", "vs_baseline": N, ...}
 
-Baseline context (BASELINE.md): the reference publishes NO numbers; its
-training config is DeepLabV3+/ResNet-50, and the stated target for this
-rebuild is >=5x an A100/TensorRT reference at 512x512.  We anchor
-``vs_baseline`` to an estimated A100 fp16 train throughput for
-DeepLabV3+/RN50 @ 512x512 of ~95 tiles/s (public MMSeg/TorchBench-class
-numbers for this architecture); vs_baseline = measured / 95.0.
+Baseline context (BASELINE.md): the reference publishes NO numbers (its
+eval harnesses print tables at runtime only), so the PRIMARY metric here
+is the absolute tiles/sec/chip.  ``vs_baseline`` is a secondary,
+explicitly-estimated multiplier: ~95 tiles/s is our A100 fp16 train
+anchor for DeepLabV3+/RN50 @ 512x512, derived from public
+MMSegmentation-class training logs (~0.33-0.36 s/iter at batch 16/2-GPU
+V100 for 512x512 deeplabv3plus_r50, scaled by the commonly-reported
+~2.2-2.5x A100/V100 conv-net speedup); no directly-published A100 number
+for this exact config exists to cite.  See BASELINE.md "Anchor
+provenance".
 
 Usage: python bench.py [--smoke] [--batch N] [--size N] [--steps N]
 """
@@ -131,8 +135,10 @@ def main() -> int:
     t_infer = time_loop(infer_once, args.steps)
     infer_tps = batch / t_infer
 
-    # plausibility: ~100 GFLOP fwd per 512x512 resnet50+v3+ tile, 3x for train
-    fwd_gflops_per_tile = 100.0 * (args.size / 512) ** 2
+    # plausibility: 125.4 GFLOP fwd per 512x512 resnet50+v3+ tile (measured:
+    # 3009 GFLOP/step at batch 8 from the xplane trace flops counters,
+    # logs/profile/attribution.txt), ~3x for fwd+bwd+update
+    fwd_gflops_per_tile = 125.4 * (args.size / 512) ** 2
     implied_tflops = 3 * fwd_gflops_per_tile * train_tps / 1e3
 
     result = {

@@ -240,19 +240,18 @@ def make_sharded_fused_ce(mesh, axis: str = "data", ignore_index: int = 255,
     Returns ``loss_fn(logits, labels, class_weights)`` usable inside a
     sharded jit; differentiable end-to-end.
     """
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     def loss_fn(logits, labels, class_weights):
         cw = jnp.asarray(class_weights, jnp.float32)
-        fn = shard_map(
+        fn = jax.shard_map(
             lambda lg, lb, w: _sharded_local_ce(
                 lg, lb, w, ignore_index, interpret, axis
             ),
             mesh=mesh,
             in_specs=(P(axis), P(axis), P()),
             out_specs=P(),
-            check_rep=False,
+            check_vma=False,
         )
         return fn(logits, labels, cw)
 
