@@ -38,6 +38,10 @@ def get_argparser() -> argparse.ArgumentParser:
     p.add_argument("--output_stride", type=int, default=None, choices=[8, 16])
     p.add_argument("--separable_conv", action="store_true",
                    help="use atrous separable convs in the head (functional here)")
+    p.add_argument("--pretrained_backbone", action="store_true",
+                   help="initialize the backbone from cached ImageNet weights "
+                        "(reference default; see compat/pretrained.py for the "
+                        "cache search order)")
     p.add_argument("--compute_dtype", type=str, default=None,
                    choices=["bfloat16", "float32"])
 
@@ -117,6 +121,8 @@ def build_config(args: argparse.Namespace) -> Config:
         cfg.data.synthetic = True
     if args.separable_conv:
         cfg.model.separable_conv = True
+    if args.pretrained_backbone:
+        cfg.model.pretrained_backbone = True
     if args.continue_training:
         cfg.train.continue_training = True
     if args.save_confidence_map:

@@ -71,6 +71,37 @@ _RESNET_LAYERS = {
 _BASIC = ("resnet18", "resnet34")
 
 
+def import_resnet_backbone(
+    params: dict,
+    stats: dict,
+    sd: Mapping[str, Any],
+    backbone: str,
+    prefix: str = "",
+) -> None:
+    """Import a torchvision-layout ResNet into the ``backbone`` subtree.
+
+    ``prefix`` is "backbone." for reference checkpoints (whole-model state
+    dicts, reference network/modeling.py:58-62 wraps the torchvision
+    resnet under that attribute) and "" for raw torchvision ImageNet
+    files (reference network/backbone/resnet.py:218-226 downloads these).
+    Classifier keys (fc.*) and num_batches_tracked buffers are ignored.
+    """
+    bb = ("backbone",)
+    _import_convbn(params, stats, sd, f"{prefix}conv1", f"{prefix}bn1", bb + ("stem",))
+    n_convs = 2 if backbone in _BASIC else 3
+    for stage_idx, blocks in enumerate(_RESNET_LAYERS[backbone]):
+        for b in range(blocks):
+            t = f"{prefix}layer{stage_idx + 1}.{b}"
+            f = bb + (f"layer{stage_idx + 1}_{b}",)
+            for c in range(1, n_convs + 1):
+                _import_convbn(params, stats, sd, f"{t}.conv{c}", f"{t}.bn{c}", f + (f"conv{c}",))
+            if f"{t}.downsample.0.weight" in sd:
+                _import_convbn(
+                    params, stats, sd,
+                    f"{t}.downsample.0", f"{t}.downsample.1", f + ("downsample",),
+                )
+
+
 def import_torch_state_dict(
     state_dict: Mapping[str, Any],
     *,
@@ -86,20 +117,7 @@ def import_torch_state_dict(
     stats: dict = {}
 
     # ---------------------------------------------------------- backbone
-    bb = ("backbone",)
-    _import_convbn(params, stats, sd, "backbone.conv1", "backbone.bn1", bb + ("stem",))
-    n_convs = 2 if backbone in _BASIC else 3
-    for stage_idx, blocks in enumerate(_RESNET_LAYERS[backbone]):
-        for b in range(blocks):
-            t = f"backbone.layer{stage_idx + 1}.{b}"
-            f = bb + (f"layer{stage_idx + 1}_{b}",)
-            for c in range(1, n_convs + 1):
-                _import_convbn(params, stats, sd, f"{t}.conv{c}", f"{t}.bn{c}", f + (f"conv{c}",))
-            if f"{t}.downsample.0.weight" in sd:
-                _import_convbn(
-                    params, stats, sd,
-                    f"{t}.downsample.0", f"{t}.downsample.1", f + ("downsample",),
-                )
+    import_resnet_backbone(params, stats, sd, backbone, prefix="backbone.")
 
     # -------------------------------------------------------------- head
     h = ("head",)

@@ -147,6 +147,17 @@ class Trainer:
             cfg.model.compute_dtype,
         )
         self.state = create_train_state(self.model, self.tx, init_rng, sample)
+        if cfg.model.pretrained_backbone:
+            # reference default behavior: ImageNet backbone, fresh head
+            # (network/modeling.py:75, backbone/resnet.py:218-226)
+            from ..compat.pretrained import apply_pretrained_backbone
+
+            p, bs, src = apply_pretrained_backbone(
+                self.state.params, self.state.batch_stats, cfg.model
+            )
+            self.state = self.state.replace(params=p, batch_stats=bs)
+            if src:
+                print(f"initialized {cfg.model.backbone} backbone from {src}")
         self.best_score: Optional[Dict[str, float]] = None
         self.best_weighted = 0.0
 
