@@ -60,6 +60,8 @@ def get_argparser() -> argparse.ArgumentParser:
     p.add_argument("--random_seed", type=int, default=None)
     p.add_argument("--print_interval", type=int, default=None)
     p.add_argument("--val_interval", type=int, default=None)
+    p.add_argument("--quick_eval_interval", type=int, default=None,
+                   help="device-side CM-only eval every N iters (0 = off)")
     p.add_argument("--sequence_length", type=int, default=None)
 
     # checkpoints / outputs
@@ -106,6 +108,7 @@ def build_config(args: argparse.Namespace) -> Config:
         ("random_seed", ("train", "random_seed")),
         ("print_interval", ("train", "print_interval")),
         ("val_interval", ("train", "val_interval")),
+        ("quick_eval_interval", ("train", "quick_eval_interval")),
         ("sequence_length", ("metrics", "sequence_length")),
         ("ckpt", ("train", "ckpt")),
         ("checkpoints_dir", ("train", "checkpoints_dir")),

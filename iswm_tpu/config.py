@@ -122,6 +122,10 @@ class TrainConfig:
 
     total_itrs: int = 30_000
     val_interval: int = 500
+    # cheap device-side CM-only eval every N iters (0 = off): preds stay on
+    # device, only a CxC matrix crosses to host — monitoring between the
+    # full (host StreamMetrics) validations that gate the best checkpoint
+    quick_eval_interval: int = 0
     print_interval: int = 10
     random_seed: int = 1
     continue_training: bool = False

@@ -294,6 +294,20 @@ class Trainer:
                         best_score=self.best_score or {},
                     )
 
+                if (
+                    cfg.train.quick_eval_interval
+                    and step % cfg.train.quick_eval_interval == 0
+                    and step % cfg.train.val_interval != 0
+                ):
+                    qm = self.quick_eval()
+                    self.logger.log_step(
+                        step, {f"quick_{k}": v for k, v in qm.items()}
+                    )
+                    print(
+                        f"[quick-eval @ {step}] "
+                        + " ".join(f"{k} {v:.4f}" for k, v in qm.items())
+                    )
+
                 if step % cfg.train.val_interval == 0:
                     self.validate_and_save(step)
         finally:
@@ -314,6 +328,26 @@ class Trainer:
         return {"best_weighted_score": self.best_weighted}
 
     # ---------------------------------------------------------- validation
+    def quick_eval(self) -> Dict[str, float]:
+        """Device-side CM-only eval over the val set (no per-image host
+        transfer, no front-tracking): miou/fiou/precision/recall/f1 from a
+        streaming confusion matrix (metrics/device.py).  This is the cheap
+        monitor; the full StreamMetrics validation at ``val_interval``
+        keeps gating the best checkpoint (reference cadence
+        train.py:1067-1080)."""
+        from ..metrics.device import DeviceEvalAccumulator
+
+        cfg = self.cfg
+        acc = DeviceEvalAccumulator(cfg.model.num_classes)
+        for images, labels in batch_iterator(
+            self.val_ds, cfg.data.val_batch_size, epochs=1
+        ):
+            out = self.eval_step(
+                self.state.params, self.state.batch_stats, jnp.asarray(images)
+            )
+            acc.update(jnp.asarray(labels), out["preds"])
+        return acc.results()
+
     def validate(self) -> Tuple[Dict[str, float], StreamMetrics, list]:
         """Whole-set validation -> sliding-window metrics (reference
         train.py:620-696)."""

@@ -237,3 +237,38 @@ def test_trainer_sequence_val(tmp_path):
     cfg2.train.auto_resume = True
     trainer2 = Trainer(cfg2)
     assert int(trainer2.state.step) == 2
+
+
+def test_quick_eval_series(tmp_path):
+    """quick_eval_interval emits device-CM metric points between full vals."""
+    import json
+
+    from iswm_tpu.config import Config
+    from iswm_tpu.train.trainer import Trainer
+
+    cfg = Config()
+    cfg.model.backbone = "resnet18"
+    cfg.model.compute_dtype = "float32"
+    cfg.data.synthetic = True
+    cfg.data.crop_size = 64
+    cfg.data.batch_size = 8
+    cfg.data.synthetic_train_size = 8
+    cfg.data.synthetic_val_size = 4
+    cfg.train.total_itrs = 6
+    cfg.train.val_interval = 6
+    cfg.train.quick_eval_interval = 2
+    cfg.train.print_interval = 2
+    for k in ("log_dir", "checkpoints_dir", "val_results_dir",
+              "metrics_plots_dir"):
+        setattr(cfg.train, k, str(tmp_path / k))
+    Trainer(cfg).fit()
+
+    quick_steps = []
+    with open(tmp_path / "log_dir" / "metrics.jsonl") as f:
+        for line in f:
+            rec = json.loads(line)
+            if "quick_fiou" in rec:
+                quick_steps.append(rec["step"])
+                assert 0.0 <= rec["quick_miou"] <= 1.0
+    # steps 2 and 4 quick-eval; step 6 is the full validation instead
+    assert quick_steps == [2, 4]
