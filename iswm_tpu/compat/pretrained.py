@@ -33,7 +33,9 @@ import numpy as np
 from ..config import ModelConfig
 from .torch_import import (
     adapt_stem_in_channels,
+    import_mobilenetv2_backbone,
     import_resnet_backbone,
+    import_xception_backbone,
     strip_module_prefix,
 )
 
@@ -46,29 +48,34 @@ _CACHE_DIRS = (
 _RESNETS = ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152")
 
 
+_FILE_ALIASES = {
+    "mobilenetv2": ("mobilenetv2", "mobilenet_v2"),
+}
+
+
 def find_pretrained_file(backbone: str) -> Optional[str]:
     """Locate a cached torchvision ImageNet state dict for ``backbone``."""
+    names = _FILE_ALIASES.get(backbone, (backbone,))
     for get_dir in _CACHE_DIRS:
         d = get_dir()
         if not d or not os.path.isdir(d):
             continue
-        exact = os.path.join(d, f"{backbone}.pth")
-        if os.path.isfile(exact):
-            return exact
-        matches = sorted(glob.glob(os.path.join(d, f"{backbone}-*.pth")))
-        if matches:
-            return matches[0]
+        for name in names:
+            exact = os.path.join(d, f"{name}.pth")
+            if os.path.isfile(exact):
+                return exact
+            matches = sorted(glob.glob(os.path.join(d, f"{name}-*.pth")))
+            if matches:
+                return matches[0]
     return None
 
 
 def load_torchvision_backbone(path: str, backbone: str) -> Tuple[dict, dict]:
-    """Raw torchvision ImageNet .pth -> ({'backbone': params}, {'backbone': stats})."""
-    if backbone not in _RESNETS:
-        raise NotImplementedError(
-            f"pretrained import is implemented for ResNet backbones; got "
-            f"{backbone!r} (the reference only ever downloads ResNet weights, "
-            f"network/backbone/resnet.py:218-226)"
-        )
+    """Raw ImageNet .pth -> ({'backbone': params}, {'backbone': stats}).
+
+    ResNets and MobileNetV2 use torchvision layout; Xception uses the
+    reference's module layout (reference network/backbone/xception.py).
+    """
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
@@ -78,7 +85,14 @@ def load_torchvision_backbone(path: str, backbone: str) -> Tuple[dict, dict]:
     }
     params: dict = {}
     stats: dict = {}
-    import_resnet_backbone(params, stats, sd, backbone, prefix="")
+    if backbone in _RESNETS:
+        import_resnet_backbone(params, stats, sd, backbone, prefix="")
+    elif backbone == "xception":
+        import_xception_backbone(params, stats, sd, prefix="")
+    elif backbone == "mobilenetv2":
+        import_mobilenetv2_backbone(params, stats, sd, prefix="")
+    else:
+        raise NotImplementedError(f"no pretrained import for {backbone!r}")
     return params, stats
 
 

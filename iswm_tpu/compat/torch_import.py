@@ -102,6 +102,106 @@ def import_resnet_backbone(
                 )
 
 
+def _import_sepconv(
+    params: dict,
+    stats: dict,
+    sd: Mapping[str, Any],
+    torch_sep: str,
+    torch_bn: str,
+    flax_path: Tuple[str, ...],
+) -> None:
+    """SeparableConv2d(conv1=depthwise, pointwise) + BN -> SepConvBN."""
+    _set(params, flax_path + ("depthwise", "kernel"), _conv(sd[f"{torch_sep}.conv1.weight"]))
+    _set(params, flax_path + ("pointwise", "kernel"), _conv(sd[f"{torch_sep}.pointwise.weight"]))
+    _set(params, flax_path + ("bn", "scale"), np.asarray(sd[f"{torch_bn}.weight"]))
+    _set(params, flax_path + ("bn", "bias"), np.asarray(sd[f"{torch_bn}.bias"]))
+    _set(stats, flax_path + ("bn", "mean"), np.asarray(sd[f"{torch_bn}.running_mean"]))
+    _set(stats, flax_path + ("bn", "var"), np.asarray(sd[f"{torch_bn}.running_var"]))
+
+
+# (reps, start_with_relu) per xception block (reference xception.py:139-153)
+_XCEPTION_BLOCKS = {1: (2, False), 2: (2, True), 3: (2, True), 12: (2, True),
+                    **{i: (3, True) for i in range(4, 12)}}
+
+
+def import_xception_backbone(
+    params: dict,
+    stats: dict,
+    sd: Mapping[str, Any],
+    prefix: str = "",
+) -> None:
+    """Reference-layout Xception -> backbone subtree.
+
+    Key map (reference network/backbone/xception.py:108-162):
+      conv1/bn1, conv2/bn2            -> stem1, stem2
+      blockN.rep.{3i+o}.{conv1,pointwise} + rep.{3i+o+1} (BN)
+                                      -> blockN.sep{i}   (o = 1 if the
+                                         block starts with ReLU else 0)
+      blockN.skip / skipbn            -> blockN.skip
+      conv3/bn3, conv4/bn4            -> conv3, conv4
+    fc/last_linear (ImageNet head) are ignored.
+    """
+    bb = ("backbone",)
+    _import_convbn(params, stats, sd, f"{prefix}conv1", f"{prefix}bn1", bb + ("stem1",))
+    _import_convbn(params, stats, sd, f"{prefix}conv2", f"{prefix}bn2", bb + ("stem2",))
+    for n, (reps, start_with_relu) in _XCEPTION_BLOCKS.items():
+        t = f"{prefix}block{n}"
+        f = bb + (f"block{n}",)
+        off = 1 if start_with_relu else 0
+        for i in range(reps):
+            idx = 3 * i + off
+            _import_sepconv(params, stats, sd, f"{t}.rep.{idx}",
+                            f"{t}.rep.{idx + 1}", f + (f"sep{i}",))
+        if f"{t}.skip.weight" in sd:
+            _import_convbn(params, stats, sd, f"{t}.skip", f"{t}.skipbn",
+                           f + ("skip",))
+    _import_sepconv(params, stats, sd, f"{prefix}conv3", f"{prefix}bn3", bb + ("conv3",))
+    _import_sepconv(params, stats, sd, f"{prefix}conv4", f"{prefix}bn4", bb + ("conv4",))
+
+
+# torchvision mobilenet_v2 features index of each (stage, block):
+# stage repeat counts per the paper table; features.0 is the stem.
+_MBV2_STAGE_REPEATS = (1, 2, 3, 4, 3, 3, 1)
+
+
+def import_mobilenetv2_backbone(
+    params: dict,
+    stats: dict,
+    sd: Mapping[str, Any],
+    prefix: str = "",
+) -> None:
+    """torchvision-layout MobileNetV2 -> backbone subtree.
+
+    torchvision naming: ``features.0`` stem ConvBNReLU; ``features.i``
+    (i=1..17) InvertedResidual with ``conv.0``=expand ConvBNReLU (absent
+    when expand_ratio==1), then depthwise ConvBNReLU, then project
+    conv+bn as the last two flat entries.  ``features.18`` (the 1280ch
+    ImageNet head conv) and ``classifier`` are ignored — the deeplab
+    variant taps the 320ch block output (models/mobilenetv2.py).
+    """
+    bb = ("backbone",)
+    _import_convbn(params, stats, sd, f"{prefix}features.0.0",
+                   f"{prefix}features.0.1", bb + ("stem",))
+    fi = 1
+    for stage_idx, n in enumerate(_MBV2_STAGE_REPEATS):
+        for block_idx in range(n):
+            t = f"{prefix}features.{fi}"
+            f = bb + (f"stage{stage_idx}_{block_idx}",)
+            expand = stage_idx > 0
+            if expand:
+                _import_convbn(params, stats, sd, f"{t}.conv.0.0",
+                               f"{t}.conv.0.1", f + ("expand_conv",))
+                dw, proj = f"{t}.conv.1", f"{t}.conv.2"
+                proj_bn = f"{t}.conv.3"
+            else:
+                dw, proj = f"{t}.conv.0", f"{t}.conv.1"
+                proj_bn = f"{t}.conv.2"
+            _import_convbn(params, stats, sd, f"{dw}.0", f"{dw}.1",
+                           f + ("depthwise",))
+            _import_convbn(params, stats, sd, proj, proj_bn, f + ("project",))
+            fi += 1
+
+
 def import_torch_state_dict(
     state_dict: Mapping[str, Any],
     *,
@@ -117,7 +217,14 @@ def import_torch_state_dict(
     stats: dict = {}
 
     # ---------------------------------------------------------- backbone
-    import_resnet_backbone(params, stats, sd, backbone, prefix="backbone.")
+    if backbone in _RESNET_LAYERS:
+        import_resnet_backbone(params, stats, sd, backbone, prefix="backbone.")
+    elif backbone == "xception":
+        import_xception_backbone(params, stats, sd, prefix="backbone.")
+    elif backbone in ("mobilenetv2", "mobilenet"):
+        import_mobilenetv2_backbone(params, stats, sd, prefix="backbone.")
+    else:
+        raise ValueError(f"unknown backbone for torch import: {backbone!r}")
 
     # -------------------------------------------------------------- head
     h = ("head",)
@@ -182,7 +289,8 @@ def adapt_stem_in_channels(params: dict, in_channels: int) -> dict:
     """
     if in_channels == 3:
         return params
-    stem = params["backbone"]["stem"]["conv"]["kernel"]  # HWIO
+    stem_name = "stem" if "stem" in params["backbone"] else "stem1"
+    stem = params["backbone"][stem_name]["conv"]["kernel"]  # HWIO
     if in_channels < 3:
         new = stem[:, :, :in_channels, :]
     else:
@@ -191,9 +299,9 @@ def adapt_stem_in_channels(params: dict, in_channels: int) -> dict:
         new = np.concatenate([stem, extra], axis=2)
     out = dict(params)
     out["backbone"] = dict(params["backbone"])
-    out["backbone"]["stem"] = {
+    out["backbone"][stem_name] = {
         "conv": {"kernel": new},
-        "bn": params["backbone"]["stem"]["bn"],
+        "bn": params["backbone"][stem_name]["bn"],
     }
     return out
 

@@ -12,6 +12,13 @@ Structure: conv 3x3/2 (VALID, as the reference uses padding=0) -> conv 3x3
 4-tuple over (block1, block2, block3+middle, block12) exactly as the
 reference's ``_make_block`` dilation accounting (xception.py:175-179).
 
+Deliberate deviation: the reference's exit-flow conv3/conv4 keep
+padding=1 even when dilated (xception.py:155,160), which shrinks the map
+by 2px per conv and crashes outright on small feature maps — dead code
+there (the factory never builds Xception, modeling.py:70-71).  Here they
+use the standard size-preserving pad=dilation; parity with the reference
+module is pinned in the undilated config (tests/test_backbone_import.py).
+
 Feature dict: 'low_level' = block1 output (128ch, stride 4),
 'out' = final 2048ch map.
 """
