@@ -27,7 +27,9 @@ def get_argparser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default=None,
                    choices=["bfloat16", "float32"])
     p.add_argument("--variants", type=str, default="f32,bf16,int8",
-                   help="comma-separated: f32,bf16,int8,int8_act")
+                   # also available: int8_act (fake-quant PTQ sim), int8_exec
+                   # (real int8 Pallas matmuls in eligible 1x1 convs)
+                   help="comma-separated: f32,bf16,int8,int8_act,int8_exec")
     p.add_argument("--max_images", type=int, default=None)
     p.add_argument("--sequence_length", type=int, default=7)
     p.add_argument("--comparison_dir", type=str, default=None,

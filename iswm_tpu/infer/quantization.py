@@ -114,14 +114,14 @@ def cast_params(params: Any, dtype) -> Any:
 def _activation_sites(module) -> bool:
     """Quantization sites: post-BN/ReLU block outputs (the tensors fbgemm
     quantizes between fused conv blocks)."""
-    from ..models.layers import ConvBN, SeparableConvBN
+    from ..models.layers import ConvBN, PackedStemConvBN, SeparableConvBN
 
     try:
         from ..models.xception import SepConvBN
 
-        types = (ConvBN, SeparableConvBN, SepConvBN)
+        types = (ConvBN, PackedStemConvBN, SeparableConvBN, SepConvBN)
     except Exception:  # pragma: no cover
-        types = (ConvBN, SeparableConvBN)
+        types = (ConvBN, PackedStemConvBN, SeparableConvBN)
     return isinstance(module, types)
 
 
@@ -188,32 +188,163 @@ def make_act_quant_fn(model, batch_stats, params, scales: Dict[str, float]) -> C
     return fn
 
 
+# ------------------------------------------------------- executed int8
+def _int8_exec_eligible(module) -> bool:
+    """1x1 stride-1 dense convs whose channel counts tile the MXU lanes:
+    the sites quantized_conv1x1 can execute as real int8 matmuls (ASPP b0
+    2048->256, ASPP projection 1280->256, the resnet bottleneck 1x1s from
+    layer2 up; reference hot spots _deeplab.py:161-172)."""
+    import flax.linen as nn
+
+    strides = module.strides if isinstance(module, nn.Conv) else None
+    if isinstance(strides, int):
+        strides = (strides, strides)
+    return (
+        isinstance(module, nn.Conv)
+        and tuple(module.kernel_size) == (1, 1)
+        and tuple(strides or (1, 1)) == (1, 1)
+        and module.feature_group_count == 1
+    )
+
+
+def calibrate_conv_inputs(
+    model, params, batch_stats, batches, max_batches: int = 25
+) -> Dict[str, float]:
+    """Per-conv input absmax/127 scales for the int8-executable sites."""
+    import flax.linen as nn
+
+    absmax: Dict[str, float] = {}
+
+    def observer(next_fn, args, kwargs, context):
+        if (
+            _int8_exec_eligible(context.module)
+            and context.method_name == "__call__"
+            and args
+        ):
+            x = args[0]
+            if x.ndim == 4 and x.shape[-1] % 128 == 0:
+                key = "/".join(context.module.path)
+                absmax[key] = max(
+                    absmax.get(key, 0.0), float(jnp.max(jnp.abs(x)))
+                )
+        return next_fn(*args, **kwargs)
+
+    for i, images in enumerate(batches):
+        if i >= max_batches:
+            break
+        with nn.intercept_methods(observer):
+            model.apply(
+                {"params": params, "batch_stats": batch_stats}, images, train=False
+            )
+    return {k: (v / 127.0 if v > 0 else 1.0) for k, v in absmax.items()}
+
+
+def make_int8_exec_fn(
+    model, batch_stats, params, conv_scales: Dict[str, float]
+) -> Callable:
+    """EXECUTED int8: eligible 1x1 convs run as int8 x int8 -> int32 Pallas
+    matmuls (ops/pallas/int8_matmul.quantized_conv1x1) with calibrated
+    input scales; everything else dequantizes to bf16 as in the weight-only
+    variant.  This is the measured-latency int8 row the reference's fbgemm
+    pipeline has (evaluate_quantization.py:112-154) — see BASELINE.md for
+    the v5e finding that Mosaic's int8 matmul runs at bf16 rate, so this
+    is about honest measurement, not a speed claim."""
+    import flax.linen as nn
+
+    from ..ops.pallas.int8_matmul import quantized_conv1x1
+
+    q, s = quantize_params_int8(params)
+    interpret = jax.default_backend() != "tpu"
+    routed = []
+
+    def _lookup(tree, path):
+        node = tree
+        for p in path:
+            node = node[p]
+        return node
+
+    def interceptor(next_fn, args, kwargs, context):
+        if not (
+            _int8_exec_eligible(context.module)
+            and context.method_name == "__call__"
+            and args
+        ):
+            return next_fn(*args, **kwargs)
+        x = args[0]
+        key = "/".join(context.module.path)
+        if x.ndim != 4 or x.shape[-1] % 128 or key not in conv_scales:
+            return next_fn(*args, **kwargs)
+        w_q = _lookup(q, context.module.path)["kernel"]
+        if w_q.dtype != jnp.int8 or w_q.shape[-1] % 128:
+            return next_fn(*args, **kwargs)
+        w_scale = _lookup(s, context.module.path)["kernel"]
+        routed.append(key)
+        out = quantized_conv1x1(
+            x, w_q, w_scale, conv_scales[key], interpret=interpret
+        )
+        if context.module.use_bias:  # not used by ConvBN, kept for safety
+            out = out + _lookup(q, context.module.path)["bias"]
+        return out.astype(x.dtype)
+
+    deq_template = dequantize_params(q, s, jnp.bfloat16)
+
+    @jax.jit
+    def fn(images):
+        with nn.intercept_methods(interceptor):
+            logits = model.apply(
+                {"params": deq_template, "batch_stats": batch_stats},
+                images,
+                train=False,
+            )
+        return logits.astype(jnp.float32)
+
+    fn.stored_params = q
+    fn.routed_sites = routed  # populated at trace time
+    return fn
+
+
 # -------------------------------------------------------------- variants
 def make_variant_fn(
-    model, batch_stats, params, name: str, act_scales: Optional[Dict[str, float]] = None
+    model,
+    batch_stats,
+    params,
+    name: str,
+    act_scales: Optional[Dict[str, float]] = None,
+    conv_scales: Optional[Dict[str, float]] = None,
 ) -> Callable:
     """Build a jitted full-precision/bf16/int8 inference fn.
 
-    name in {'f32', 'bf16', 'int8', 'int8_act'}.  'int8' stores int8
-    kernels in HBM and dequantizes into bf16 right before each conv
-    (weight-only PTQ); 'int8_act' additionally fake-quantizes activations
-    at calibrated sites (requires ``act_scales`` from
-    ``calibrate_activations``).
+    name in {'f32', 'bf16', 'int8', 'int8_act', 'int8_exec'}.  'int8'
+    stores int8 kernels in HBM and dequantizes into bf16 right before each
+    conv (weight-only PTQ); 'int8_act' additionally fake-quantizes
+    activations at calibrated sites (requires ``act_scales`` from
+    ``calibrate_activations``); 'int8_exec' EXECUTES the eligible 1x1
+    convs as int8 Pallas matmuls (requires ``conv_scales`` from
+    ``calibrate_conv_inputs``).
     """
     if name == "int8_act":
         if act_scales is None:
             raise ValueError("int8_act requires act_scales (run calibration)")
         return make_act_quant_fn(model, batch_stats, params, act_scales)
+    if name == "int8_exec":
+        if conv_scales is None:
+            raise ValueError("int8_exec requires conv_scales (run calibration)")
+        return make_int8_exec_fn(model, batch_stats, params, conv_scales)
     if name == "f32":
         use_params = cast_params(params, jnp.float32)
     elif name == "bf16":
         use_params = cast_params(params, jnp.bfloat16)
     elif name == "int8":
+        # int8 is the AT-REST format (4x smaller on disk/transfer, the
+        # reference's PTQ size claim, evaluate_quantization.py:240);
+        # dequantize ONCE at load so serving latency is bf16's by
+        # construction — re-dequantizing per call inside jit measured
+        # +27% latency on v5e for zero benefit (BASELINE.md).
         q, s = quantize_params_int8(params)
+        deq = dequantize_params(q, s, jnp.bfloat16)
 
         @jax.jit
         def int8_fn(images):
-            deq = dequantize_params(q, s, jnp.bfloat16)
             logits = model.apply(
                 {"params": deq, "batch_stats": batch_stats}, images, train=False
             )
@@ -334,7 +465,8 @@ def compare_variants(
     first_preds: Dict[str, Any] = {}
 
     act_scales = None
-    if "int8_act" in variants:
+    conv_scales = None
+    if "int8_act" in variants or "int8_exec" in variants:
         from ..data.transforms import normalize
 
         def calib_iter():
@@ -343,12 +475,20 @@ def compare_variants(
                 img = dataset[i][0]
                 yield normalize(jnp.asarray(img, jnp.float32)[None] / 255.0)
 
-        act_scales = calibrate_activations(
-            model, params, batch_stats, calib_iter(), calibration_batches
-        )
+        if "int8_act" in variants:
+            act_scales = calibrate_activations(
+                model, params, batch_stats, calib_iter(), calibration_batches
+            )
+        if "int8_exec" in variants:
+            conv_scales = calibrate_conv_inputs(
+                model, params, batch_stats, calib_iter(), calibration_batches
+            )
 
     for name in variants:
-        fn = make_variant_fn(model, batch_stats, params, name, act_scales=act_scales)
+        fn = make_variant_fn(
+            model, batch_stats, params, name,
+            act_scales=act_scales, conv_scales=conv_scales,
+        )
         stats = evaluate_variant(
             fn, dataset, sequence_length=sequence_length, max_images=max_images
         )
@@ -400,5 +540,13 @@ def format_report(report: Dict[str, Dict[str, float]]) -> str:
             f"{r['miou']:>8.4f}{r['fiou']:>8.4f}{r['ff1']:>8.4f}"
             f"{r.get('miou_delta', 0.0):>8.4f}{r.get('speedup', 1.0):>9.2f}"
             f"{r.get('mask_agreement', 1.0):>8.4f}  {r.get('verdict', '')}"
+        )
+    if "int8" in report:
+        lines.append(
+            "note: 'int8' is weight-only (size play; compute stays bf16 by "
+            "construction — its speedup column measures dequant overhead, "
+            "not an int8 claim). 'int8_exec' runs eligible 1x1 convs as "
+            "real int8 MXU matmuls; see BASELINE.md for the v5e int8-rate "
+            "finding."
         )
     return "\n".join(lines)

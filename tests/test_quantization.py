@@ -140,3 +140,34 @@ def test_int8_act_requires_scales(small_model):
     model, params, batch_stats = small_model
     with pytest.raises(ValueError, match="calibration"):
         make_variant_fn(model, batch_stats, params, "int8_act")
+
+
+def test_int8_exec_variant(small_model):
+    """Executed-int8: eligible 1x1 convs route through the Pallas int8
+    matmul (interpret mode on CPU) and masks stay in agreement."""
+    import jax.numpy as jnp
+
+    from iswm_tpu.infer.quantization import (
+        calibrate_conv_inputs,
+        make_int8_exec_fn,
+        make_variant_fn,
+    )
+
+    model, params, batch_stats = small_model
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
+
+    conv_scales = calibrate_conv_inputs(model, params, batch_stats, [x])
+    assert conv_scales, "no int8-executable conv sites found"
+    assert any("aspp" in k for k in conv_scales), sorted(conv_scales)
+
+    fn = make_int8_exec_fn(model, batch_stats, params, conv_scales)
+    logits_q = np.asarray(fn(x))
+    routed = set(fn.routed_sites)
+    assert "head/aspp/project/conv" in routed and "head/aspp/b0/conv" in routed
+    assert routed <= set(conv_scales)
+
+    ref = make_variant_fn(model, batch_stats, params, "f32")
+    logits_f = np.asarray(ref(x))
+    agree = float((logits_q.argmax(-1) == logits_f.argmax(-1)).mean())
+    assert agree > 0.97, f"int8-exec mask agreement {agree}"
