@@ -324,3 +324,130 @@ def load_reference_checkpoint(
         sd, meta = payload, {}
     params, stats = import_torch_state_dict(sd, backbone=backbone, head=head)
     return params, stats, meta
+
+
+# ------------------------------------------------------------------ export
+def _conv_back(w) -> np.ndarray:
+    """HWIO -> OIHW (exact inverse of _conv's (2, 3, 1, 0))."""
+    return np.ascontiguousarray(np.transpose(np.asarray(w, np.float32), (3, 2, 0, 1)))
+
+
+def _get(tree, path: Tuple[str, ...]):
+    node = tree
+    for p in path:
+        node = node[p]
+    return node
+
+
+def _export_convbn(
+    sd: dict,
+    params: Any,
+    stats: Any,
+    flax_path: Tuple[str, ...],
+    torch_conv: str,
+    torch_bn: str,
+) -> None:
+    p = _get(params, flax_path)
+    s = _get(stats, flax_path)
+    sd[f"{torch_conv}.weight"] = _conv_back(p["conv"]["kernel"])
+    sd[f"{torch_bn}.weight"] = np.asarray(p["bn"]["scale"], np.float32)
+    sd[f"{torch_bn}.bias"] = np.asarray(p["bn"]["bias"], np.float32)
+    sd[f"{torch_bn}.running_mean"] = np.asarray(s["bn"]["mean"], np.float32)
+    sd[f"{torch_bn}.running_var"] = np.asarray(s["bn"]["var"], np.float32)
+    sd[f"{torch_bn}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def export_torch_state_dict(
+    params: Any,
+    batch_stats: Any,
+    *,
+    backbone: str = "resnet50",
+    head: str = "deeplabv3plus",
+) -> Dict[str, np.ndarray]:
+    """flax trees -> reference-format torch state dict (numpy values).
+
+    The inverse of :func:`import_torch_state_dict`, so models trained here
+    round-trip into the reference's own loader (reference predict.py:78-86,
+    train.py:1001-1011) and its ONNX/TensorRT export toolchain
+    (export_onnx.py) without retraining.  ResNet backbones only — the only
+    family the reference's factory can build (modeling.py:70-71).
+    """
+    if backbone not in _RESNET_LAYERS:
+        raise NotImplementedError(
+            f"the reference can only load ResNet models (modeling.py:70-71); "
+            f"got {backbone!r}"
+        )
+    sd: Dict[str, np.ndarray] = {}
+
+    bb = ("backbone",)
+    _export_convbn(sd, params, batch_stats, bb + ("stem",), "backbone.conv1",
+                   "backbone.bn1")
+    n_convs = 2 if backbone in _BASIC else 3
+    for stage_idx, blocks in enumerate(_RESNET_LAYERS[backbone]):
+        for b in range(blocks):
+            t = f"backbone.layer{stage_idx + 1}.{b}"
+            f = bb + (f"layer{stage_idx + 1}_{b}",)
+            for c in range(1, n_convs + 1):
+                _export_convbn(sd, params, batch_stats, f + (f"conv{c}",),
+                               f"{t}.conv{c}", f"{t}.bn{c}")
+            if "downsample" in _get(params, f):
+                _export_convbn(sd, params, batch_stats, f + ("downsample",),
+                               f"{t}.downsample.0", f"{t}.downsample.1")
+
+    h = ("head",)
+    if head == "deeplabv3plus":
+        _export_convbn(sd, params, batch_stats, h + ("project",),
+                       "classifier.project.0", "classifier.project.1")
+        aspp_prefix = "classifier.aspp"
+        cls_prefix = "classifier.classifier"
+    else:
+        aspp_prefix = "classifier.classifier.0"
+        cls_prefix = None
+
+    aspp = h + ("aspp",)
+    for i, branch in enumerate(("b0", "b1", "b2", "b3")):
+        _export_convbn(sd, params, batch_stats, aspp + (branch,),
+                       f"{aspp_prefix}.convs.{i}.0", f"{aspp_prefix}.convs.{i}.1")
+    _export_convbn(sd, params, batch_stats, aspp + ("pool",),
+                   f"{aspp_prefix}.convs.4.1", f"{aspp_prefix}.convs.4.2")
+    _export_convbn(sd, params, batch_stats, aspp + ("project",),
+                   f"{aspp_prefix}.project.0", f"{aspp_prefix}.project.1")
+
+    if head == "deeplabv3plus":
+        _export_convbn(sd, params, batch_stats, h + ("cls0",),
+                       f"{cls_prefix}.0", f"{cls_prefix}.1")
+        _export_convbn(sd, params, batch_stats, h + ("cls1",),
+                       f"{cls_prefix}.3", f"{cls_prefix}.4")
+        out_key = f"{cls_prefix}.6"
+    else:
+        _export_convbn(sd, params, batch_stats, h + ("cls0",),
+                       "classifier.classifier.1", "classifier.classifier.2")
+        out_key = "classifier.classifier.4"
+    cls_out = _get(params, h + ("cls_out",))
+    sd[f"{out_key}.weight"] = _conv_back(cls_out["kernel"])
+    sd[f"{out_key}.bias"] = np.asarray(cls_out["bias"], np.float32)
+    return sd
+
+
+def save_reference_checkpoint(
+    path: str,
+    params: Any,
+    batch_stats: Any,
+    *,
+    backbone: str = "resnet50",
+    head: str = "deeplabv3plus",
+    **meta: Any,
+) -> str:
+    """Write a reference-loadable .pth checkpoint (payload keys per
+    reference train.py:567-582: model_state + metadata)."""
+    import torch
+
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in export_torch_state_dict(
+            params, batch_stats, backbone=backbone, head=head
+        ).items()
+    }
+    payload = {"model_state": sd, **meta}
+    torch.save(payload, path)
+    return path
