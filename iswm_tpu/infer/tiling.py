@@ -66,6 +66,8 @@ class TileEngine:
         overlap: int = 64,
         batch: int = 8,
         num_classes: int = 2,
+        mesh=None,
+        data_axis: str | None = None,
     ):
         if overlap >= tile:
             raise ValueError("overlap must be < tile")
@@ -74,10 +76,26 @@ class TileEngine:
         self.overlap = overlap
         self.batch = batch
         self.num_classes = num_classes
+        # Multi-chip scene parallelism: tiles are data over the mesh's
+        # ``data_axis`` — each chip runs its tile shard of every chunk,
+        # XLA gathers logits for the (replicated) blend.  ``batch`` is the
+        # per-chip batch; chunk size becomes batch * n_devices.
+        self.mesh = mesh
+        self.data_axis = data_axis or (mesh.axis_names[0] if mesh else None)
         self._jit_cache = {}
 
     def _build(self, h: int, w: int):
         tile, overlap, batch = self.tile, self.overlap, self.batch
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            n_dev = self.mesh.shape[self.data_axis]
+            batch = batch * n_dev
+            tile_sharding = NamedSharding(
+                self.mesh, PartitionSpec(self.data_axis)
+            )
+        else:
+            tile_sharding = None
         stride = tile - overlap
         ys = tile_origins(h, tile, stride)
         xs = tile_origins(w, tile, stride)
@@ -102,7 +120,14 @@ class TileEngine:
 
             tiles = jax.vmap(extract)(origins_j)  # [N', T, T, C]
             tiles = tiles.reshape(-1, batch, tile, tile, scene.shape[2])
-            logits = jax.lax.map(model_fn, tiles)  # [chunks, B, T, T, K]
+            fn = model_fn
+            if tile_sharding is not None:
+                def fn(chunk):  # noqa: E306 — shard each chunk's batch
+                    chunk = jax.lax.with_sharding_constraint(
+                        chunk, tile_sharding
+                    )
+                    return model_fn(chunk)
+            logits = jax.lax.map(fn, tiles)  # [chunks, B, T, T, K]
             logits = logits.reshape(-1, tile, tile, num_classes)
 
             canvas = jnp.zeros((h, w, num_classes), jnp.float32)
