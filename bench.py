@@ -85,7 +85,12 @@ def main() -> int:
     ap.add_argument("--smoke", action="store_true", help="tiny shapes, quick check")
     ap.add_argument("--batch", type=int, default=0, help="0 = auto (try 16,8,4)")
     ap.add_argument("--size", type=int, default=512)
-    ap.add_argument("--steps", type=int, default=20)
+    # Steps per timing rep: the tunneled backend costs ~36 ms per
+    # dispatch+fetch round trip (measured round 2, constant w.r.t. the
+    # work inside); 100 dependent steps amortize that to <0.4 ms/step so
+    # the reported number is steady-state device throughput, still
+    # honestly clocked by a final host fetch.
+    ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--backbone", default="resnet50")
     args = ap.parse_args()
 

@@ -39,6 +39,11 @@ class ModelConfig:
     param_dtype: str = "float32"  # dtype of parameters / BN stats
     bn_momentum: float = 0.9  # flax momentum = 1 - torch momentum(0.1)
     bn_epsilon: float = 1e-5
+    # Pallas fused-BN residual blocks for training (models/fused_block.py).
+    # Measured SLOWER than XLA's conv fusions on v5e (ROADMAP
+    # "Performance"), so default off; auto = on for single-chip TPU runs,
+    # always | never | interpret (tests).
+    fused_blocks: str = "never"
 
 
 @dataclass

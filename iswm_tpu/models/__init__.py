@@ -33,6 +33,26 @@ def _dtype(name: str):
     ]
 
 
+def _resolve_fused_mode(fused_blocks: str) -> str:
+    """Map ModelConfig.fused_blocks to the Bottleneck fused_mode.
+
+    "auto" enables the compiled Pallas fused-BN block path only for
+    single-device TPU processes — like the fused-CE gate in
+    ops/losses.py, an opaque pallas_call under a multi-device jit would
+    force GSPMD to gather activations (sharded variant: ROADMAP).
+    """
+    if fused_blocks == "auto":
+        import jax
+
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        return "compiled" if (on_tpu and jax.device_count() == 1) else "never"
+    if fused_blocks == "always":
+        return "compiled"
+    if fused_blocks in ("never", "interpret"):
+        return fused_blocks
+    raise ValueError(f"unknown fused_blocks setting {fused_blocks!r}")
+
+
 def build_model(cfg: ModelConfig) -> DeepLabV3Model:
     """Build a segmentation model from config.
 
@@ -56,6 +76,7 @@ def build_model(cfg: ModelConfig) -> DeepLabV3Model:
             arch=cfg.backbone,
             replace_stride_with_dilation=rswd,
             in_channels=cfg.in_channels,
+            fused_mode=_resolve_fused_mode(getattr(cfg, "fused_blocks", "auto")),
             **kw,
         )
     elif cfg.backbone == "mobilenetv2":

@@ -57,12 +57,19 @@ class BasicBlock(nn.Module):
 class Bottleneck(nn.Module):
     """1x1 -> 3x3(stride/dilation) -> 1x1(x4) (reference resnet.py:78-120).
     The residual add is a plain ``+`` — the reference's FloatFunctional
-    (resnet.py:97,117) exists only for torch-int8 bookkeeping."""
+    (resnet.py:97,117) exists only for torch-int8 bookkeeping.
+
+    ``fused_mode`` selects the Pallas fused-BN training path for
+    stride-1/dilation-1 blocks ("compiled" on TPU, "interpret" for CPU
+    tests, "never" = plain ConvBN chain).  Both paths declare the same
+    variable tree; see models/fused_block.py.
+    """
 
     planes: int
     strides: int = 1
     dilation: int = 1
     downsample: bool = False
+    fused_mode: str = "never"
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -70,6 +77,18 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if (
+            self.fused_mode != "never"
+            and train
+            and self.strides == 1
+            and self.dilation == 1
+        ):
+            from .fused_block import fused_block_eligible, fused_bottleneck_apply
+
+            if fused_block_eligible(x.shape):
+                return fused_bottleneck_apply(
+                    self, x, interpret=self.fused_mode == "interpret"
+                )
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         identity = x
         out = ConvBN(self.planes, 1, name="conv1", **kw)(x, train)
@@ -109,6 +128,7 @@ class ResNet(nn.Module):
     arch: str = "resnet50"
     replace_stride_with_dilation: Sequence[bool] = (False, False, True)
     in_channels: int = 3  # recorded for checkpoint import; input must match
+    fused_mode: str = "never"  # Pallas fused-BN block path (see Bottleneck)
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -139,6 +159,9 @@ class ResNet(nn.Module):
                 needs_ds = first and (
                     stride != 1 or x.shape[-1] != planes * block.expansion
                 )
+                fused_kw = (
+                    {"fused_mode": self.fused_mode} if block is Bottleneck else {}
+                )
                 x = block(
                     planes=planes,
                     strides=stride if first else 1,
@@ -147,6 +170,7 @@ class ResNet(nn.Module):
                     dilation=previous_dilation if first else dilation,
                     downsample=needs_ds,
                     name=f"layer{stage_idx + 1}_{block_idx}",
+                    **fused_kw,
                     **kw,
                 )(x, train)
             if stage_idx == 0:

@@ -21,11 +21,12 @@ def main() -> int:
     ap.add_argument("--top", type=int, default=50)
     ap.add_argument("--grep", default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--dir", default="logs/profile")
     args = ap.parse_args()
 
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-    paths = sorted(glob.glob("logs/profile/**/*.xplane.pb", recursive=True))
+    paths = sorted(glob.glob(f"{args.dir}/**/*.xplane.pb", recursive=True))
     if not paths:
         print("no xplane found"); return 1
     xs = xplane_pb2.XSpace()
