@@ -27,7 +27,10 @@ def get_argparser() -> argparse.ArgumentParser:
     p.add_argument("--data_root", type=str, default=None)
     p.add_argument("--dataset", type=str, default=None)
     p.add_argument("--num_classes", type=int, default=None)
-    p.add_argument("--crop_size", type=int, default=None)
+    p.add_argument("--crop_size", type=int, default=None,
+                   help="training crop; batches must be uniform-sized, so "
+                        "images are cropped/validated to this (XLA compiles "
+                        "one program per shape — varying sizes recompile)")
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--val_batch_size", type=int, default=None)
     p.add_argument("--synthetic", action="store_true", help="use synthetic fixtures")
