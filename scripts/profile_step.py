@@ -29,17 +29,28 @@ LOGDIR = os.path.join(os.path.dirname(__file__), "..", "logs", "profile")
 
 
 def main() -> int:
+    profile_eval = "--eval" in sys.argv
     batch, size = 8, 512
     state, train_step, eval_step, images, labels, rng = build(batch, size)
     # warm up / compile
-    state, m = train_step(state, images, labels, rng)
-    float(m["loss"])
+    if profile_eval:
+        ev = eval_step(state.params, state.batch_stats, images)
+        float(np.asarray(ev["preds"]).ravel()[0])
+    else:
+        state, m = train_step(state, images, labels, rng)
+        float(m["loss"])
 
     os.makedirs(LOGDIR, exist_ok=True)
     jax.profiler.start_trace(LOGDIR)
-    for _ in range(5):
-        state, m = train_step(state, images, labels, rng)
-    float(m["loss"])  # honest clock: host fetch
+    if profile_eval:
+        ev = None
+        for _ in range(5):
+            ev = eval_step(state.params, state.batch_stats, images)
+        float(np.asarray(ev["preds"]).ravel()[0])  # honest clock: host fetch
+    else:
+        for _ in range(5):
+            state, m = train_step(state, images, labels, rng)
+        float(m["loss"])  # honest clock: host fetch
     jax.profiler.stop_trace()
 
     xplanes = sorted(glob.glob(os.path.join(LOGDIR, "**", "*.xplane.pb"),
