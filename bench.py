@@ -63,11 +63,15 @@ def build(batch: int, size: int, backbone: str = "resnet50"):
 def time_loop(fn, steps: int) -> float:
     """Median-of-3 timing of `steps` dependent dispatches.
 
-    The timed region ends with an explicit host fetch of the final output —
-    on remote/async backends (axon tunnel) ``block_until_ready`` alone has
-    been observed to return before execution completes, producing
-    physically impossible throughput numbers; a device->host scalar fetch
-    is the only honest clock.
+    The timed region ends with an explicit host fetch of ONE element of the
+    final output — on remote/async backends (axon tunnel) ``block_until_ready``
+    alone has been observed to return before execution completes, producing
+    physically impossible throughput numbers; a device->host fetch is the
+    only honest clock.  The probe is a single element, not the full array:
+    fetching the whole 8.4 MB preds tensor through the ~60 MB/s tunnel
+    added ~1.4-2.5 ms/step of D2H that is a tunnel artifact, not a v5e
+    property (PCIe gen4 ships 8.4 MB in ~0.5 ms).  The element is gathered
+    on device from the computed output, so execution cannot be skipped.
     """
     times = []
     for _ in range(3):
@@ -75,7 +79,7 @@ def time_loop(fn, steps: int) -> float:
         out = None
         for _ in range(steps):
             out = fn()
-        np.asarray(jax.tree.leaves(out)[0]).ravel()[0]  # force host fetch
+        float(jax.tree.leaves(out)[0].ravel()[0])  # 1-element honest probe
         times.append((time.perf_counter() - t0) / steps)
     return float(np.median(times))
 
