@@ -44,6 +44,10 @@ class ModelConfig:
     # "Performance"), so default off; auto = on for single-chip TPU runs,
     # always | never | interpret (tests).
     fused_blocks: str = "never"
+    # Pallas fused stem tail (BN+relu+maxpool fwd/bwd, ops/pallas/
+    # fused_stem.py).  Same auto|always|never|interpret semantics; pool
+    # gradient uses equal-split ties (see kernel docstring).
+    fused_stem: str = "never"
 
 
 @dataclass

@@ -77,6 +77,7 @@ def build_model(cfg: ModelConfig) -> DeepLabV3Model:
             replace_stride_with_dilation=rswd,
             in_channels=cfg.in_channels,
             fused_mode=_resolve_fused_mode(getattr(cfg, "fused_blocks", "auto")),
+            fused_stem=_resolve_fused_mode(getattr(cfg, "fused_stem", "never")),
             **kw,
         )
     elif cfg.backbone == "mobilenetv2":

@@ -267,6 +267,44 @@ class ShiftedDilatedConv(nn.Module):
         )
 
 
+def pack_stem_kernel(kernel: jax.Array, k: int) -> jax.Array:
+    """Repack a canonical [k,k,C,F] stride-2 kernel for the space-to-depth
+    packed conv: [ku,ku,4C,F] with ku=(k+2)//2 (see PackedStrided2Conv)."""
+    ku = (k + 2) // 2
+    c, features = kernel.shape[2], kernel.shape[3]
+    front = (k // 2) % 2
+    kk = jnp.pad(
+        kernel,
+        ((front, 2 * ku - front - k), (front, 2 * ku - front - k), (0, 0), (0, 0)),
+    )
+    kk = kk.reshape(ku, 2, ku, 2, c, features)
+    return kk.transpose(0, 2, 1, 3, 4, 5).reshape(ku, ku, 4 * c, features)
+
+
+def pack_stem_input(x: jax.Array) -> jax.Array:
+    """[B,H,W,C] -> [B,H/2,W/2,(2,2,C)] space-to-depth, via parity TAKES:
+    XLA lowers the gathers straight into the consumer conv's input fusion,
+    while the reshape+transpose form materializes two full data-formatting
+    passes (measured on v5e: pack+conv 1.35 ms vs 1.96 ms at 8x512x512,
+    identical results)."""
+    b, h, w, c = x.shape
+    re = jnp.arange(0, h, 2)
+    ro = jnp.arange(1, h, 2)
+    ce_ = jnp.arange(0, w, 2)
+    co = jnp.arange(1, w, 2)
+    xe = jnp.take(x, re, axis=1)
+    xo = jnp.take(x, ro, axis=1)
+    return jnp.concatenate(
+        [
+            jnp.take(xe, ce_, axis=2),
+            jnp.take(xe, co, axis=2),
+            jnp.take(xo, ce_, axis=2),
+            jnp.take(xo, co, axis=2),
+        ],
+        axis=-1,
+    )
+
+
 class PackedStrided2Conv(nn.Module):
     """Odd-k, stride-2 conv evaluated as a stride-1 conv on 2x2
     space-to-depth packed input (the MLPerf-ResNet stem trick).
@@ -318,37 +356,8 @@ class PackedStrided2Conv(nn.Module):
         ku = (k + 2) // 2  # packed tap count per axis
         pad_l = (k // 2 + 1) // 2
         pad_r = ku - 1 - pad_l
-        # kernel: [k,k,C,F] -> zero rows/cols to 2*ku (one leading iff
-        # p=k//2 is odd, from ky = 2*ku + d + p - 2*pad_l) ->
-        # [ku,2,ku,2,C,F] -> [ku,ku,(2,2,C),F]
-        front = (k // 2) % 2
-        kk = jnp.pad(
-            kernel,
-            ((front, 2 * ku - front - k), (front, 2 * ku - front - k),
-             (0, 0), (0, 0)),
-        )
-        kk = kk.reshape(ku, 2, ku, 2, c, self.features)
-        kk = kk.transpose(0, 2, 1, 3, 4, 5).reshape(ku, ku, 4 * c, self.features)
-        # input: [B,H,W,C] -> [B,H/2,W/2,(2,2,C)].  Packed via parity TAKES
-        # rather than reshape+transpose: XLA lowers the gathers straight into
-        # the consumer conv's input fusion, while the transpose form
-        # materializes two full data-formatting passes (measured on v5e:
-        # pack+conv 1.35 ms vs 1.96 ms at 8x512x512, identical results).
-        re = jnp.arange(0, h, 2)
-        ro = jnp.arange(1, h, 2)
-        ce_ = jnp.arange(0, w, 2)
-        co = jnp.arange(1, w, 2)
-        xe = jnp.take(x, re, axis=1)
-        xo = jnp.take(x, ro, axis=1)
-        xp = jnp.concatenate(
-            [
-                jnp.take(xe, ce_, axis=2),
-                jnp.take(xe, co, axis=2),
-                jnp.take(xo, ce_, axis=2),
-                jnp.take(xo, co, axis=2),
-            ],
-            axis=-1,
-        )
+        kk = pack_stem_kernel(kernel, k)
+        xp = pack_stem_input(x)
         return jax.lax.conv_general_dilated(
             xp.astype(self.dtype),
             kk.astype(self.dtype),
@@ -391,6 +400,117 @@ class PackedStemConvBN(nn.Module):
         if self.use_relu:
             x = nn.relu(x)
         return x
+
+
+class _StemKernelParam(nn.Module):
+    """Holds the canonical stem conv kernel under scope <name>/kernel so a
+    fused caller shares the exact parameter tree of PackedStrided2Conv."""
+
+    features: int
+    kernel_size: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_channels: int) -> jax.Array:
+        return self.param(
+            "kernel",
+            kaiming_normal,
+            (self.kernel_size, self.kernel_size, in_channels, self.features),
+            self.param_dtype,
+        )
+
+
+class _BNParams(nn.Module):
+    """BatchNorm parameter/stat holders matching flax.linen.BatchNorm's
+    variable tree (params: scale/bias; batch_stats: mean/var)."""
+
+    features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), self.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda s: jnp.zeros(s, jnp.float32), (self.features,),
+        )
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda s: jnp.ones(s, jnp.float32), (self.features,),
+        )
+        return scale, bias, ra_mean, ra_var
+
+
+class FusedStemPool(nn.Module):
+    """PackedStemConvBN + max_pool(3,2,1) with the post-conv chain fused in
+    Pallas (ops/pallas/fused_stem.py): BN stats / normalize+relu+pool
+    forward, and a backward that recomputes the pool scatter in VMEM and
+    contracts dz straight into the conv weight gradient.
+
+    Parameter/variable tree is identical to
+    ``PackedStemConvBN(name=...)`` followed by ``max_pool_torch(x,3,2,1)``
+    (children ``conv``/``bn``), so checkpoints are interchangeable with the
+    unfused path.  Pool-gradient ties are EQUAL-SPLIT (see kernel module
+    docstring) — a subgradient choice that differs from XLA's
+    select-and-scatter only on exact float ties.
+    """
+
+    features: int = 64
+    kernel_size: int = 7
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    bn_momentum: float = 0.9
+    bn_epsilon: float = 1e-5
+    interpret: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from ..ops.pallas.fused_stem import stem_fused_eval, stem_fused_train
+
+        c = x.shape[-1]
+        kernel = _StemKernelParam(
+            self.features, self.kernel_size, self.param_dtype, name="conv"
+        )(c)
+        scale, bias, ra_mean, ra_var = _BNParams(
+            self.features, self.param_dtype, name="bn"
+        )()
+
+        kk = pack_stem_kernel(kernel, self.kernel_size).astype(self.dtype)
+        xp = pack_stem_input(x.astype(self.dtype))
+        xp_pad = jnp.pad(xp, ((0, 0), (0, 0), (2, 1), (0, 0)))
+
+        if train:
+            p, mean, var = stem_fused_train(
+                xp_pad, kk, scale, bias, self.bn_epsilon, self.interpret
+            )
+            if not self.is_initializing():
+                m = self.bn_momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var
+        else:
+            si = jax.lax.rsqrt(ra_var.value.astype(jnp.float32) + self.bn_epsilon)
+            sc = scale.astype(jnp.float32) * si
+            bi = bias.astype(jnp.float32) - ra_mean.value.astype(jnp.float32) * sc
+            p = stem_fused_eval(xp_pad, kk, sc, bi, interpret=self.interpret)
+        return p.astype(self.dtype)
+
+
+def fused_stem_eligible(x_shape, kernel_size: int = 7) -> bool:
+    """The fused stem needs even spatial dims (space-to-depth pack), the
+    stem's odd kernel, and a halvable conv output."""
+    h, w = x_shape[1], x_shape[2]
+    return (
+        kernel_size % 2 == 1
+        and h % 4 == 0
+        and w % 4 == 0
+        and h == w
+        and h >= 8
+    )
 
 
 def max_pool_torch(x: jax.Array, window: int, strides: int, padding: int) -> jax.Array:

@@ -21,7 +21,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import ConvBN, PackedStemConvBN, max_pool_torch
+from .layers import (
+    ConvBN,
+    FusedStemPool,
+    PackedStemConvBN,
+    fused_stem_eligible,
+    max_pool_torch,
+)
 
 Dtype = Any
 
@@ -129,6 +135,7 @@ class ResNet(nn.Module):
     replace_stride_with_dilation: Sequence[bool] = (False, False, True)
     in_channels: int = 3  # recorded for checkpoint import; input must match
     fused_mode: str = "never"  # Pallas fused-BN block path (see Bottleneck)
+    fused_stem: str = "never"  # Pallas fused stem tail (see FusedStemPool)
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -140,8 +147,16 @@ class ResNet(nn.Module):
         # 7x7/s2 stem evaluated space-to-depth packed: a stride-2 conv on a
         # 3-channel image runs at ~4% of MXU peak; packed it is a 4x4/s1
         # conv over 12 channels with identical math (see PackedStrided2Conv).
-        x = PackedStemConvBN(64, 7, name="stem", **kw)(x, train)
-        x = max_pool_torch(x, 3, 2, 1)
+        if self.fused_stem != "never" and fused_stem_eligible(x.shape, 7):
+            # Post-conv chain (BN+relu+pool, fwd AND bwd) fused in Pallas;
+            # identical parameter tree, so checkpoints interchange freely.
+            x = FusedStemPool(
+                64, 7, name="stem",
+                interpret=self.fused_stem == "interpret", **kw,
+            )(x, train)
+        else:
+            x = PackedStemConvBN(64, 7, name="stem", **kw)(x, train)
+            x = max_pool_torch(x, 3, 2, 1)
 
         features = {}
         dilation = 1
