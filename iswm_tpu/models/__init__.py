@@ -33,24 +33,25 @@ def _dtype(name: str):
     ]
 
 
-def _resolve_fused_mode(fused_blocks: str) -> str:
-    """Map ModelConfig.fused_blocks to the Bottleneck fused_mode.
+def _resolve_fused_mode(value: str, setting: str = "fused_blocks") -> str:
+    """Map a ModelConfig fused-kernel setting (fused_blocks / fused_stem)
+    to a resolved mode.
 
-    "auto" enables the compiled Pallas fused-BN block path only for
-    single-device TPU processes — like the fused-CE gate in
-    ops/losses.py, an opaque pallas_call under a multi-device jit would
-    force GSPMD to gather activations (sharded variant: ROADMAP).
+    "auto" enables the compiled Pallas path only for single-device TPU
+    processes — like the fused-CE gate in ops/losses.py, an opaque
+    pallas_call under a multi-device jit would force GSPMD to gather
+    activations (sharded variant: ROADMAP).
     """
-    if fused_blocks == "auto":
+    if value == "auto":
         import jax
 
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         return "compiled" if (on_tpu and jax.device_count() == 1) else "never"
-    if fused_blocks == "always":
+    if value == "always":
         return "compiled"
-    if fused_blocks in ("never", "interpret"):
-        return fused_blocks
-    raise ValueError(f"unknown fused_blocks setting {fused_blocks!r}")
+    if value in ("never", "interpret"):
+        return value
+    raise ValueError(f"unknown {setting} setting {value!r}")
 
 
 def build_model(cfg: ModelConfig) -> DeepLabV3Model:
@@ -77,7 +78,9 @@ def build_model(cfg: ModelConfig) -> DeepLabV3Model:
             replace_stride_with_dilation=rswd,
             in_channels=cfg.in_channels,
             fused_mode=_resolve_fused_mode(getattr(cfg, "fused_blocks", "auto")),
-            fused_stem=_resolve_fused_mode(getattr(cfg, "fused_stem", "never")),
+            fused_stem=_resolve_fused_mode(
+                getattr(cfg, "fused_stem", "never"), "fused_stem"
+            ),
             **kw,
         )
     elif cfg.backbone == "mobilenetv2":

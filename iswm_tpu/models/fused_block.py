@@ -38,48 +38,10 @@ from ..ops.pallas.fused_block import (
     conv3x3_bn_stats,
     matmul_bn_stats,
 )
-from .layers import kaiming_normal
+from .layers import BNVars, ConvVars, kaiming_normal
 
 Dtype = Any
 f32 = jnp.float32
-
-
-class _ConvVars(nn.Module):
-    """Declares exactly the parameters flax ``nn.Conv(use_bias=False)``
-    would, without computing."""
-
-    features: int
-    kernel_size: int
-    param_dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, in_ch: int):
-        k = self.kernel_size
-        return self.param(
-            "kernel", kaiming_normal, (k, k, in_ch, self.features), self.param_dtype
-        )
-
-
-class _BNVars(nn.Module):
-    """Declares exactly the variables flax ``nn.BatchNorm`` would."""
-
-    param_dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, ch: int):
-        scale = self.param(
-            "scale", nn.initializers.ones_init(), (ch,), self.param_dtype
-        )
-        bias = self.param(
-            "bias", nn.initializers.zeros_init(), (ch,), self.param_dtype
-        )
-        ra_mean = self.variable(
-            "batch_stats", "mean", lambda s: jnp.zeros(s, f32), (ch,)
-        )
-        ra_var = self.variable(
-            "batch_stats", "var", lambda s: jnp.ones(s, f32), (ch,)
-        )
-        return scale, bias, ra_mean, ra_var
 
 
 class ConvBNVars(nn.Module):
@@ -91,10 +53,10 @@ class ConvBNVars(nn.Module):
 
     @nn.compact
     def __call__(self, in_ch: int):
-        kernel = _ConvVars(
+        kernel = ConvVars(
             self.features, self.kernel_size, self.param_dtype, name="conv"
         )(in_ch)
-        scale, bias, ra_mean, ra_var = _BNVars(self.param_dtype, name="bn")(
+        scale, bias, ra_mean, ra_var = BNVars(self.param_dtype, name="bn")(
             self.features
         )
         return kernel, scale, bias, ra_mean, ra_var

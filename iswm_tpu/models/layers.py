@@ -402,46 +402,42 @@ class PackedStemConvBN(nn.Module):
         return x
 
 
-class _StemKernelParam(nn.Module):
-    """Holds the canonical stem conv kernel under scope <name>/kernel so a
-    fused caller shares the exact parameter tree of PackedStrided2Conv."""
+class ConvVars(nn.Module):
+    """Declares exactly the parameters flax ``nn.Conv(use_bias=False)``
+    would, without computing — for fused paths that must share a plain
+    module's variable tree (used here and by models/fused_block.py)."""
 
     features: int
     kernel_size: int
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, in_channels: int) -> jax.Array:
+    def __call__(self, in_ch: int) -> jax.Array:
+        k = self.kernel_size
         return self.param(
-            "kernel",
-            kaiming_normal,
-            (self.kernel_size, self.kernel_size, in_channels, self.features),
-            self.param_dtype,
+            "kernel", kaiming_normal, (k, k, in_ch, self.features), self.param_dtype
         )
 
 
-class _BNParams(nn.Module):
-    """BatchNorm parameter/stat holders matching flax.linen.BatchNorm's
-    variable tree (params: scale/bias; batch_stats: mean/var)."""
+class BNVars(nn.Module):
+    """Declares exactly the variables flax ``nn.BatchNorm`` would
+    (params: scale/bias; batch_stats: mean/var)."""
 
-    features: int
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self):
+    def __call__(self, ch: int):
         scale = self.param(
-            "scale", nn.initializers.ones, (self.features,), self.param_dtype
+            "scale", nn.initializers.ones_init(), (ch,), self.param_dtype
         )
         bias = self.param(
-            "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+            "bias", nn.initializers.zeros_init(), (ch,), self.param_dtype
         )
         ra_mean = self.variable(
-            "batch_stats", "mean",
-            lambda s: jnp.zeros(s, jnp.float32), (self.features,),
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (ch,)
         )
         ra_var = self.variable(
-            "batch_stats", "var",
-            lambda s: jnp.ones(s, jnp.float32), (self.features,),
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (ch,)
         )
         return scale, bias, ra_mean, ra_var
 
@@ -472,13 +468,17 @@ class FusedStemPool(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         from ..ops.pallas.fused_stem import stem_fused_eval, stem_fused_train
 
+        assert self.kernel_size == 7, (
+            "FusedStemPool is specialized to the 7x7/s2 stem: the packed "
+            "pads (2,1) and 4x4-tap wgrad geometry assume k=7"
+        )
         c = x.shape[-1]
-        kernel = _StemKernelParam(
+        kernel = ConvVars(
             self.features, self.kernel_size, self.param_dtype, name="conv"
         )(c)
-        scale, bias, ra_mean, ra_var = _BNParams(
-            self.features, self.param_dtype, name="bn"
-        )()
+        scale, bias, ra_mean, ra_var = BNVars(self.param_dtype, name="bn")(
+            self.features
+        )
 
         kk = pack_stem_kernel(kernel, self.kernel_size).astype(self.dtype)
         xp = pack_stem_input(x.astype(self.dtype))
@@ -501,11 +501,12 @@ class FusedStemPool(nn.Module):
 
 
 def fused_stem_eligible(x_shape, kernel_size: int = 7) -> bool:
-    """The fused stem needs even spatial dims (space-to-depth pack), the
-    stem's odd kernel, and a halvable conv output."""
+    """The fused stem is specialized to the 7x7/s2 stem (packed pads and
+    wgrad tap geometry are k=7-specific) and needs square spatial dims
+    divisible by 4 (space-to-depth pack + halvable conv output)."""
     h, w = x_shape[1], x_shape[2]
     return (
-        kernel_size % 2 == 1
+        kernel_size == 7
         and h % 4 == 0
         and w % 4 == 0
         and h == w

@@ -517,11 +517,14 @@ def _stem_fused_bwd(eps, interpret, res, cots):
     dw, dgamma, dbeta = stem_tail_bwd(
         z, xp_pad, dp, gamma, beta, mean, sigma_inv, interpret=interpret
     )
-    # d(image) is never needed — the stem is the first layer; the zero
-    # cotangent is DCE'd by XLA when the caller does not differentiate
-    # the input image.
+    # d(image) is deliberately NOT computed — the stem is the network's
+    # first layer, so nothing consumes it in training and XLA DCEs this
+    # constant.  It is NaN-filled (not zero) so that any caller that DOES
+    # request input gradients (saliency maps, adversarial examples) fails
+    # loudly instead of silently receiving zeros; use the unfused stem
+    # (ModelConfig.fused_stem="never") for input-gradient work.
     return (
-        jnp.zeros_like(xp_pad),
+        jnp.full_like(xp_pad, jnp.nan),
         dw.astype(kdtype),
         dgamma.astype(gamma.dtype),
         dbeta.astype(beta.dtype),
