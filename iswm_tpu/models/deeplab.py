@@ -29,7 +29,13 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.resize import resize_bilinear
-from .layers import ConvBN, SeparableConvBN, global_avg_pool, kaiming_normal
+from .layers import (
+    ConcatConvBN,
+    ConvBN,
+    SeparableConvBN,
+    global_avg_pool,
+    kaiming_normal,
+)
 
 Dtype = Any
 
@@ -63,15 +69,34 @@ class ASPP(nn.Module):
         # Image-level pooling branch (reference ASPPPooling, _deeplab.py:130-141).
         pooled = global_avg_pool(x)
         pooled = ConvBN(self.out_channels, 1, name="pool", **kw)(pooled, train)
-        # 1x1 feature map broadcast back to HxW — bilinear resize of a single
-        # pixel is a broadcast; do it explicitly so XLA emits no gather.
-        pooled = jnp.broadcast_to(
-            pooled, (x.shape[0], x.shape[1], x.shape[2], self.out_channels)
-        )
-        branches.append(pooled)
 
-        y = jnp.concatenate(branches, axis=-1)  # 5*256 = 1280ch
-        y = ConvBN(self.out_channels, 1, name="project", **kw)(y, train)
+        if train:
+            # concat(5x256) + 1x1 project as a sum of per-branch
+            # projections (ConcatConvBN) — measured +2.5 tiles/s on the
+            # v5e train step (the concat and its backward split vanish).
+            # The pooled part enters as a single pixel: projection of a
+            # broadcast is the broadcast of the projection, so its slice
+            # of the matmul runs on [B,1,1,256] and broadcast-adds into
+            # the sum; the HxW pooled tensor never exists.  Both module
+            # types declare the identical conv/kernel + bn variable tree,
+            # so train and eval share parameters.
+            branches.append(pooled)
+            y = ConcatConvBN(self.out_channels, 1, name="project", **kw)(
+                branches, train
+            )
+        else:
+            # Forward-only programs schedule ONE 1280-deep projection
+            # matmul better than five partial ones (measured -52 tiles/s
+            # from splitting at eval), so inference keeps the reference's
+            # broadcast + concat + single 1x1 form (a broadcast instead of
+            # the reference's 1x1 bilinear upsample — same values, no
+            # gather).
+            pooled = jnp.broadcast_to(
+                pooled, (x.shape[0], x.shape[1], x.shape[2], self.out_channels)
+            )
+            branches.append(pooled)
+            y = jnp.concatenate(branches, axis=-1)  # 5*256 = 1280ch
+            y = ConvBN(self.out_channels, 1, name="project", **kw)(y, train)
         y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
         return y
 
@@ -95,8 +120,19 @@ class DeepLabHeadV3Plus(nn.Module):
             self.atrous_rates, separable=self.separable, name="aspp", **kw
         )(features["out"], train)
         out = resize_bilinear(out, (low.shape[1], low.shape[2]))
-        x = jnp.concatenate([low, out.astype(low.dtype)], axis=-1)  # 304ch
-        x = Conv3(256, 3, name="cls0", **kw)(x, train)
+        if self.separable:
+            # depthwise convs need the materialized concat
+            x = jnp.concatenate([low, out.astype(low.dtype)], axis=-1)  # 304ch
+            x = Conv3(256, 3, name="cls0", **kw)(x, train)
+        else:
+            # conv over a channel concat == sum of per-part convs with the
+            # weight sliced in-graph; the 304-ch concat tensor (reference
+            # _deeplab.py:58-61) never materializes — XLA fuses gathers
+            # into conv inputs but not concatenates (profiled as 0.25 ms
+            # of data formatting per eval step at 8x512x512).
+            x = ConcatConvBN(256, 3, name="cls0", **kw)(
+                [low, out.astype(low.dtype)], train
+            )
         x = Conv3(256, 3, name="cls1", **kw)(x, train)
         x = nn.Conv(
             self.num_classes,
