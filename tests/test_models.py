@@ -186,3 +186,38 @@ class TestShiftedDilatedConv:
         g2 = jax.grad(loss_conv)(k0)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestConcatConvBN:
+    """conv(cat(parts)) == sum of per-part convs with sliced weights."""
+
+    def test_matches_concat_conv(self):
+        import flax.linen as nn
+
+        from iswm_tpu.models.layers import ConcatConvBN, ConvBN
+
+        rng = np.random.default_rng(0)
+        a = jnp.asarray(rng.normal(size=(2, 16, 16, 48)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(2, 16, 16, 64)), jnp.float32)
+        kw = dict(dtype=jnp.float32, param_dtype=jnp.float32)
+
+        split = ConcatConvBN(32, 3, **kw)
+        v = split.init({"params": jax.random.key(0)}, [a, b], train=False)
+        plain = ConvBN(32, 3, **kw)
+        x = jnp.concatenate([a, b], axis=-1)
+        v_plain = plain.init({"params": jax.random.key(1)}, x, train=False)
+        # identical variable trees -> parameters interchange
+        assert jax.tree.structure(v) == jax.tree.structure(v_plain)
+
+        out_split = split.apply(v, [a, b], train=False)
+        out_plain = plain.apply(v, x, train=False)
+        np.testing.assert_allclose(out_split, out_plain, rtol=1e-5, atol=1e-5)
+
+        # broadcastable single-pixel part (the ASPP pooled branch form)
+        p = jnp.asarray(rng.normal(size=(2, 1, 1, 64)), jnp.float32)
+        m1 = ConcatConvBN(32, 1, **kw)
+        v1 = m1.init({"params": jax.random.key(2)}, [a, p], train=False)
+        out_pix = m1.apply(v1, [a, p], train=False)
+        pb = jnp.broadcast_to(p, (2, 16, 16, 64))
+        out_ref = m1.apply(v1, [a, pb], train=False)
+        np.testing.assert_allclose(out_pix, out_ref, rtol=1e-5, atol=1e-5)
