@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -104,6 +105,10 @@ def main() -> int:
     else:
         batches = [args.batch] if args.batch else [8, 4]
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from iswm_tpu.utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
     dev = jax.devices()[0]
     state = train_step = None
     batch = batches[-1]

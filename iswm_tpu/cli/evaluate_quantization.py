@@ -39,6 +39,9 @@ def get_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = get_argparser().parse_args(argv)
+    from ..utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = Config.from_yaml(args.config) if args.config else Config()
     if args.model:
         head, _, backbone = args.model.partition("_")

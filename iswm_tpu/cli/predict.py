@@ -79,6 +79,9 @@ def build_config(args: argparse.Namespace) -> Config:
 
 def main(argv=None) -> int:
     args = get_argparser().parse_args(argv)
+    from ..utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = build_config(args)
     import os
 

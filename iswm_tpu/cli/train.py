@@ -148,6 +148,9 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    from ..utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()  # minutes-long step compiles cache across runs
     from ..train import Trainer  # deferred: jax import is heavy
 
     trainer = Trainer(cfg)

@@ -71,3 +71,30 @@ def timing_debug(func):
         return result
 
     return wrapper
+
+
+def enable_compilation_cache(path: str = "") -> None:
+    """Enable JAX's persistent compilation cache for this process.
+
+    The flagship train-step compile costs minutes on TPU (and tens of
+    minutes with opt-in Pallas kernels); the persistent cache makes every
+    later process with the same program near-instant.  Verified to work
+    through the tunneled axon backend.  Honors JAX_COMPILATION_CACHE_DIR
+    if set; defaults to ~/.cache/iswm_tpu/xla.  Never raises — callers
+    are CLIs where a cache failure must not block the run.
+    """
+    try:
+        import jax
+
+        cache_dir = (
+            path
+            or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            or os.path.join(
+                os.path.expanduser("~"), ".cache", "iswm_tpu", "xla"
+            )
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
