@@ -38,7 +38,7 @@ from ..ops.pallas.fused_block import (
     conv3x3_bn_stats,
     matmul_bn_stats,
 )
-from .layers import BNVars, ConvVars, kaiming_normal
+from .layers import BNVars, ConvVars
 
 Dtype = Any
 f32 = jnp.float32
