@@ -34,6 +34,10 @@ def get_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--val_batch_size", type=int, default=None)
     p.add_argument("--synthetic", action="store_true", help="use synthetic fixtures")
+    p.add_argument("--sequence_val", action="store_true",
+                   help="synthetic validation split as temporally-coherent\n"
+                        "sequences (exercises the 7-frame sliding-window\n"
+                        "temporal metrics the way real Himawari series do)")
 
     # model
     p.add_argument("--model", type=str, default=None,
@@ -125,6 +129,8 @@ def build_config(args: argparse.Namespace) -> Config:
 
     if args.synthetic:
         cfg.data.synthetic = True
+    if args.sequence_val:
+        cfg.data.synthetic_sequence_val = True
     if args.separable_conv:
         cfg.model.separable_conv = True
     if args.pretrained_backbone:
