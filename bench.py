@@ -63,7 +63,15 @@ def build(batch: int, size: int, backbone: str = "resnet50", output_stride: int 
 
 
 def time_loop(fn, steps: int) -> float:
-    """Median-of-3 timing of `steps` dependent dispatches.
+    """Median-of-3 timing of `steps` dispatches.
+
+    Train steps are dependent (state feeds state); the inference loop's
+    steps are mutually independent, so the final 1-element probe proves
+    all `steps` executed only because the backend executes dispatches in
+    order (true of the axon tunnel and of XLA's single-stream TPU
+    execution).  On a backend that reorders independent dispatches the
+    eval loop would need explicit chaining (feed a scalar of step i into
+    step i+1) for the honesty argument to hold.
 
     The timed region ends with an explicit host fetch of ONE element of the
     final output — on remote/async backends (axon tunnel) ``block_until_ready``

@@ -79,6 +79,9 @@ def get_argparser() -> argparse.ArgumentParser:
     p.add_argument("--metrics_plots_dir", type=str, default=None)
     p.add_argument("--log_dir", type=str, default=None)
     p.add_argument("--save_confidence_map", action="store_true")
+    p.add_argument("--val_dump_limit", type=int, default=None,
+                   help="val samples dumped on a new best (0 = whole val "
+                        "set, the reference's behavior; default 8)")
     p.add_argument("--enable_mlflow", action="store_true")
 
     # accepted for reference-script compatibility; non-functional there too
@@ -122,6 +125,7 @@ def build_config(args: argparse.Namespace) -> Config:
         ("val_results_dir", ("train", "val_results_dir")),
         ("metrics_plots_dir", ("train", "metrics_plots_dir")),
         ("log_dir", ("train", "log_dir")),
+        ("val_dump_limit", ("train", "val_dump_limit")),
     ):
         v = getattr(args, flag)
         if v is not None:

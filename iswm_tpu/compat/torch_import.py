@@ -357,6 +357,79 @@ def _export_convbn(
     sd[f"{torch_bn}.num_batches_tracked"] = np.asarray(0, np.int64)
 
 
+def _export_sepconv(
+    sd: dict,
+    params: Any,
+    stats: Any,
+    flax_path: Tuple[str, ...],
+    torch_sep: str,
+    torch_bn: str,
+) -> None:
+    """Inverse of :func:`_import_sepconv` (SeparableConv2d + BN)."""
+    p = _get(params, flax_path)
+    s = _get(stats, flax_path)
+    sd[f"{torch_sep}.conv1.weight"] = _conv_back(p["depthwise"]["kernel"])
+    sd[f"{torch_sep}.pointwise.weight"] = _conv_back(p["pointwise"]["kernel"])
+    sd[f"{torch_bn}.weight"] = np.asarray(p["bn"]["scale"], np.float32)
+    sd[f"{torch_bn}.bias"] = np.asarray(p["bn"]["bias"], np.float32)
+    sd[f"{torch_bn}.running_mean"] = np.asarray(s["bn"]["mean"], np.float32)
+    sd[f"{torch_bn}.running_var"] = np.asarray(s["bn"]["var"], np.float32)
+    sd[f"{torch_bn}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def export_xception_backbone(
+    sd: dict, params: Any, stats: Any, prefix: str = "backbone."
+) -> None:
+    """backbone subtree -> reference-layout Xception keys (inverse of
+    :func:`import_xception_backbone`; reference network/backbone/
+    xception.py:108-162 naming)."""
+    bb = ("backbone",)
+    _export_convbn(sd, params, stats, bb + ("stem1",), f"{prefix}conv1",
+                   f"{prefix}bn1")
+    _export_convbn(sd, params, stats, bb + ("stem2",), f"{prefix}conv2",
+                   f"{prefix}bn2")
+    for n, (reps, start_with_relu) in _XCEPTION_BLOCKS.items():
+        t = f"{prefix}block{n}"
+        f = bb + (f"block{n}",)
+        off = 1 if start_with_relu else 0
+        for i in range(reps):
+            idx = 3 * i + off
+            _export_sepconv(sd, params, stats, f + (f"sep{i}",),
+                            f"{t}.rep.{idx}", f"{t}.rep.{idx + 1}")
+        if "skip" in _get(params, f):
+            _export_convbn(sd, params, stats, f + ("skip",), f"{t}.skip",
+                           f"{t}.skipbn")
+    _export_sepconv(sd, params, stats, bb + ("conv3",), f"{prefix}conv3",
+                    f"{prefix}bn3")
+    _export_sepconv(sd, params, stats, bb + ("conv4",), f"{prefix}conv4",
+                    f"{prefix}bn4")
+
+
+def export_mobilenetv2_backbone(
+    sd: dict, params: Any, stats: Any, prefix: str = "backbone."
+) -> None:
+    """backbone subtree -> torchvision-layout MobileNetV2 keys (inverse of
+    :func:`import_mobilenetv2_backbone`)."""
+    bb = ("backbone",)
+    _export_convbn(sd, params, stats, bb + ("stem",),
+                   f"{prefix}features.0.0", f"{prefix}features.0.1")
+    fi = 1
+    for stage_idx, n in enumerate(_MBV2_STAGE_REPEATS):
+        for block_idx in range(n):
+            t = f"{prefix}features.{fi}"
+            f = bb + (f"stage{stage_idx}_{block_idx}",)
+            if stage_idx > 0:
+                _export_convbn(sd, params, stats, f + ("expand_conv",),
+                               f"{t}.conv.0.0", f"{t}.conv.0.1")
+                dw, proj, proj_bn = f"{t}.conv.1", f"{t}.conv.2", f"{t}.conv.3"
+            else:
+                dw, proj, proj_bn = f"{t}.conv.0", f"{t}.conv.1", f"{t}.conv.2"
+            _export_convbn(sd, params, stats, f + ("depthwise",),
+                           f"{dw}.0", f"{dw}.1")
+            _export_convbn(sd, params, stats, f + ("project",), proj, proj_bn)
+            fi += 1
+
+
 def export_torch_state_dict(
     params: Any,
     batch_stats: Any,
@@ -369,30 +442,35 @@ def export_torch_state_dict(
     The inverse of :func:`import_torch_state_dict`, so models trained here
     round-trip into the reference's own loader (reference predict.py:78-86,
     train.py:1001-1011) and its ONNX/TensorRT export toolchain
-    (export_onnx.py) without retraining.  ResNet backbones only — the only
-    family the reference's factory can build (modeling.py:70-71).
+    (export_onnx.py) without retraining.  All three backbone families are
+    exported; note the reference's *factory* can only rebuild ResNet models
+    (modeling.py:70-71), so Xception/MobileNetV2 exports target
+    reference-layout torch modules constructed directly (e.g.
+    network/backbone/xception.py / torchvision mobilenet_v2), as the import
+    parity tests do.
     """
-    if backbone not in _RESNET_LAYERS:
-        raise NotImplementedError(
-            f"the reference can only load ResNet models (modeling.py:70-71); "
-            f"got {backbone!r}"
-        )
     sd: Dict[str, np.ndarray] = {}
-
     bb = ("backbone",)
-    _export_convbn(sd, params, batch_stats, bb + ("stem",), "backbone.conv1",
-                   "backbone.bn1")
-    n_convs = 2 if backbone in _BASIC else 3
-    for stage_idx, blocks in enumerate(_RESNET_LAYERS[backbone]):
-        for b in range(blocks):
-            t = f"backbone.layer{stage_idx + 1}.{b}"
-            f = bb + (f"layer{stage_idx + 1}_{b}",)
-            for c in range(1, n_convs + 1):
-                _export_convbn(sd, params, batch_stats, f + (f"conv{c}",),
-                               f"{t}.conv{c}", f"{t}.bn{c}")
-            if "downsample" in _get(params, f):
-                _export_convbn(sd, params, batch_stats, f + ("downsample",),
-                               f"{t}.downsample.0", f"{t}.downsample.1")
+    if backbone in _RESNET_LAYERS:
+        _export_convbn(sd, params, batch_stats, bb + ("stem",),
+                       "backbone.conv1", "backbone.bn1")
+        n_convs = 2 if backbone in _BASIC else 3
+        for stage_idx, blocks in enumerate(_RESNET_LAYERS[backbone]):
+            for b in range(blocks):
+                t = f"backbone.layer{stage_idx + 1}.{b}"
+                f = bb + (f"layer{stage_idx + 1}_{b}",)
+                for c in range(1, n_convs + 1):
+                    _export_convbn(sd, params, batch_stats, f + (f"conv{c}",),
+                                   f"{t}.conv{c}", f"{t}.bn{c}")
+                if "downsample" in _get(params, f):
+                    _export_convbn(sd, params, batch_stats, f + ("downsample",),
+                                   f"{t}.downsample.0", f"{t}.downsample.1")
+    elif backbone == "xception":
+        export_xception_backbone(sd, params, batch_stats)
+    elif backbone in ("mobilenetv2", "mobilenet"):
+        export_mobilenetv2_backbone(sd, params, batch_stats)
+    else:
+        raise ValueError(f"unknown backbone for torch export: {backbone!r}")
 
     h = ("head",)
     if head == "deeplabv3plus":

@@ -46,7 +46,11 @@ class ModelConfig:
     fused_blocks: str = "never"
     # Pallas fused stem tail (BN+relu+maxpool fwd/bwd, ops/pallas/
     # fused_stem.py).  Same auto|always|never|interpret semantics; pool
-    # gradient uses equal-split ties (see kernel docstring).
+    # gradient uses equal-split ties (see kernel docstring).  RESTRICTION:
+    # the fused stem's custom VJP does not propagate a gradient to the
+    # input image (its input cotangent is NaN-filled by design) — keep
+    # this "never" for saliency / adversarial workflows that
+    # differentiate w.r.t. the image.
     fused_stem: str = "never"
 
 
@@ -85,7 +89,8 @@ class LossConfig:
     focal_alpha: float = 1.0
     focal_gamma: float = 0.0
     ignore_index: int = 255
-    # Pallas fused softmax-CE kernel for binary CE: auto | always | never
+    # Pallas fused softmax-CE kernel for binary CE:
+    # auto | always | never | interpret (CPU tests)
     fused_kernel: str = "auto"
 
 
@@ -143,6 +148,10 @@ class TrainConfig:
     val_results_dir: str = "val_results"
     metrics_plots_dir: str = "metrics_plots"
     save_val_results: bool = True
+    # How many val samples to dump on a new best.  The reference dumps the
+    # WHOLE val set (reference train.py:461-523); we default to 8 to bound
+    # disk/IO on large val sets — set 0 for reference parity (dump all).
+    val_dump_limit: int = 8
     save_confidence_map: bool = False
     log_dir: str = "logs"  # JSONL metric log (MLflow-compatible names)
     use_mlflow: bool = False  # enable if mlflow importable + MLFLOW_TRACKING_URI set

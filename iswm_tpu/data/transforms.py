@@ -228,6 +228,88 @@ def paired_resize(image: jax.Array, label: jax.Array, size: Tuple[int, int]):
     return img, lbl
 
 
+def rotate_pair(
+    image: jax.Array,
+    label: jax.Array,
+    angle_degrees,
+    fill: float = 0.0,
+):
+    """Paired rotation by ``angle_degrees`` counterclockwise around the image
+    center, output size unchanged (``expand=False``) — PIL ``F.rotate``
+    semantics as used by ExtRandomRotation (ext_transforms.py:147-210).
+
+    Coordinate convention matches PIL ``Image.rotate``: the inverse affine
+    maps output pixel centers ``(x+0.5, y+0.5)`` to source coordinates, with
+    the matrix built from ``-radians(angle)`` and recentered on ``(w/2, h/2)``.
+    Images sample BILINEAR, labels NEAREST (PIL floor of the source coord);
+    out-of-frame pixels take ``fill`` (PIL default 0).  Unlike the
+    scale/crop/flip chain this transform is not axis-separable, so it uses a
+    2-D gather; it is an API-completeness transform (the reference never
+    wires rotation into training).
+    """
+    h, w = image.shape[0], image.shape[1]
+    a = -jnp.deg2rad(jnp.asarray(angle_degrees, jnp.float32))
+    cos, sin = jnp.cos(a), jnp.sin(a)
+    cx, cy = w / 2.0, h / 2.0
+    # inverse-affine coefficients, recentered (PIL Image.rotate)
+    c0 = cx - cos * cx - sin * cy
+    f0 = cy + sin * cx - cos * cy
+    oy, ox = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    xin = cos * (ox + 0.5) + sin * (oy + 0.5) + c0  # [H, W]
+    yin = -sin * (ox + 0.5) + cos * (oy + 0.5) + f0
+
+    # label: NEAREST = floor of the source coordinate (PIL COORD)
+    xi = jnp.floor(xin).astype(jnp.int32)
+    yi = jnp.floor(yin).astype(jnp.int32)
+    valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    lbl = label[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+    out_lbl = jnp.where(valid, lbl, jnp.asarray(fill, label.dtype))
+
+    # image: BILINEAR on pixel-center coords, edge taps weighted out
+    u = xin - 0.5
+    v = yin - 0.5
+    x0 = jnp.floor(u).astype(jnp.int32)
+    y0 = jnp.floor(v).astype(jnp.int32)
+    wx = (u - x0)[..., None]
+    wy = (v - y0)[..., None]
+    img = image.astype(jnp.float32)
+
+    def tap(yidx, xidx):
+        ok = ((xidx >= 0) & (xidx < w) & (yidx >= 0) & (yidx < h))[..., None]
+        return img[jnp.clip(yidx, 0, h - 1), jnp.clip(xidx, 0, w - 1)] * ok
+
+    out_img = (
+        tap(y0, x0) * (1 - wy) * (1 - wx)
+        + tap(y0, x0 + 1) * (1 - wy) * wx
+        + tap(y0 + 1, x0) * wy * (1 - wx)
+        + tap(y0 + 1, x0 + 1) * wy * wx
+    )
+    # pixels whose center falls outside the source frame take the fill
+    # (PIL writes fill wherever the nearest source pixel is out of frame)
+    out_img = jnp.where(valid[..., None], out_img, fill)
+    return out_img, out_lbl
+
+
+def random_rotation(
+    key: jax.Array,
+    image: jax.Array,
+    label: jax.Array,
+    degrees=(-10.0, 10.0),
+    fill: float = 0.0,
+):
+    """ExtRandomRotation (ext_transforms.py:147-210): uniform angle in
+    ``degrees`` (a scalar d means (-d, d)), expand=False, center rotation."""
+    if not hasattr(degrees, "__len__"):
+        degrees = (-float(degrees), float(degrees))
+    angle = jax.random.uniform(
+        key, (), minval=degrees[0], maxval=degrees[1]
+    )
+    return rotate_pair(image, label, angle, fill=fill)
+
+
 def color_jitter(
     key: jax.Array,
     image: jax.Array,

@@ -77,7 +77,7 @@ def build_model(cfg: ModelConfig) -> DeepLabV3Model:
             arch=cfg.backbone,
             replace_stride_with_dilation=rswd,
             in_channels=cfg.in_channels,
-            fused_mode=_resolve_fused_mode(getattr(cfg, "fused_blocks", "auto")),
+            fused_mode=_resolve_fused_mode(getattr(cfg, "fused_blocks", "never")),
             fused_stem=_resolve_fused_mode(
                 getattr(cfg, "fused_stem", "never"), "fused_stem"
             ),

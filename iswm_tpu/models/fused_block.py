@@ -94,8 +94,8 @@ def fused_bottleneck_apply(
     planes = block.planes
     cdt = block.dtype
     pdt = block.param_dtype
-    mom = 0.9  # ConvBN default bn_momentum
-    eps = 1e-5  # ConvBN default bn_epsilon
+    mom = block.bn_momentum
+    eps = block.bn_epsilon
 
     bsz, h, w, cin = x.shape
     count = float(bsz * h * w)

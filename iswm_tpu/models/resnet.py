@@ -78,6 +78,8 @@ class Bottleneck(nn.Module):
     fused_mode: str = "never"
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
+    bn_momentum: float = 0.9
+    bn_epsilon: float = 1e-5
 
     expansion = 4
 
@@ -95,7 +97,8 @@ class Bottleneck(nn.Module):
                 return fused_bottleneck_apply(
                     self, x, interpret=self.fused_mode == "interpret"
                 )
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  bn_momentum=self.bn_momentum, bn_epsilon=self.bn_epsilon)
         identity = x
         out = ConvBN(self.planes, 1, name="conv1", **kw)(x, train)
         out = ConvBN(self.planes, 3, strides=self.strides,

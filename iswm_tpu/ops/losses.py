@@ -124,15 +124,18 @@ def make_loss_fn(
 
     ``fused``: 'auto' uses the Pallas fused softmax-CE kernel for binary
     CE/IWce on TPU backends, 'always' forces it, 'never' keeps the jnp
-    path (which XLA fuses into the network tail anyway).  On a multi-device
+    path (which XLA fuses into the network tail anyway), 'interpret' runs
+    the kernel through the Pallas interpreter (CPU golden/parity tests).
+    On a multi-device
     mesh the kernel runs per-shard under shard_map with a psum of the
     (ce_sum, w_sum) pair over the data axis (pass ``mesh``).
     """
     on_tpu = jax.default_backend() not in ("cpu",)
+    interpret = fused == "interpret"  # Pallas interpreter (CPU test suite)
     want_fused = (
         loss_type in ("ce_loss", "IWce_loss")
         and num_classes == 2
-        and (fused == "always" or (fused == "auto" and on_tpu))
+        and (fused in ("always", "interpret") or (fused == "auto" and on_tpu))
     )
     if want_fused:
         cw = (
@@ -149,7 +152,8 @@ def make_loss_fn(
                 from .pallas.fused_ce import make_sharded_fused_ce
 
                 sharded = make_sharded_fused_ce(
-                    mesh, axis=mesh.axis_names[0], ignore_index=ignore_index
+                    mesh, axis=mesh.axis_names[0], ignore_index=ignore_index,
+                    interpret=interpret,
                 )
 
                 def fused_loss(logits, labels):
@@ -160,7 +164,7 @@ def make_loss_fn(
             from .pallas.fused_ce import fused_binary_ce
 
             def fused_loss(logits, labels):
-                return fused_binary_ce(logits, labels, cw, ignore_index, False)
+                return fused_binary_ce(logits, labels, cw, ignore_index, interpret)
 
             return fused_loss
 

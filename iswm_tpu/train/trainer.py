@@ -416,9 +416,10 @@ class Trainer:
                     cfg.train.val_results_dir,
                     f"best_model_iter_{step}_score_{ws:.4f}",
                 )
+                limit = cfg.train.val_dump_limit
                 save_validation_results(
                     out_dir,
-                    samples[: 8],
+                    samples[:limit] if limit else samples,
                     self.val_ds,
                     save_confidence=cfg.train.save_confidence_map,
                 )

@@ -199,3 +199,55 @@ def test_write_sequence_dataset(tmp_path):
     ds = BinarySegmentation(root, split="val")
     assert len(ds) == 6
     assert ds.images == sorted(ds.images)
+
+
+@pytest.mark.parametrize("angle", [0.0, 7.0, -13.5, 30.0, 90.0])
+def test_rotate_pair_matches_pil(angle):
+    """Golden parity of rotate_pair vs PIL F.rotate (the ExtRandomRotation
+    backend, reference ext_transforms.py:201): BILINEAR image / NEAREST
+    label, expand=False, center rotation, fill 0."""
+    from PIL import Image
+
+    from iswm_tpu.data.transforms import rotate_pair
+
+    rng = np.random.default_rng(3)
+    h, w = 64, 80
+    img_u8 = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    lbl_u8 = (rng.random((h, w)) > 0.7).astype(np.uint8)
+
+    ref_img = np.asarray(
+        Image.fromarray(img_u8).rotate(angle, resample=Image.BILINEAR)
+    ).astype(np.float32) / 255.0
+    ref_lbl = np.asarray(Image.fromarray(lbl_u8).rotate(angle))  # NEAREST
+
+    img, lbl = jax.jit(rotate_pair)(
+        jnp.asarray(img_u8, jnp.float32) / 255.0, jnp.asarray(lbl_u8), angle
+    )
+    img, lbl = np.asarray(img), np.asarray(lbl)
+
+    # labels: NEAREST should agree except float-tie boundary pixels
+    assert (lbl != ref_lbl).mean() < 0.02
+    # image: bilinear within uint8 quantization except edge-tap pixels
+    close = np.isclose(img, ref_img, atol=3 / 255.0)
+    assert close.mean() > 0.98
+    if angle == 0.0:
+        np.testing.assert_allclose(img, ref_img, atol=1 / 255.0)
+        np.testing.assert_array_equal(lbl, lbl_u8)
+
+
+def test_random_rotation_angle_range_and_shapes():
+    from iswm_tpu.data.transforms import random_rotation, rotate_pair
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((32, 32, 3)), jnp.float32)
+    lbl = jnp.asarray((rng.random((32, 32)) > 0.5), jnp.uint8)
+    out_img, out_lbl = random_rotation(jax.random.key(1), img, lbl, degrees=5.0)
+    assert out_img.shape == img.shape and out_lbl.shape == lbl.shape
+    assert out_lbl.dtype == lbl.dtype
+    # degrees=0 must be identity regardless of key
+    same_img, same_lbl = random_rotation(jax.random.key(2), img, lbl, degrees=0.0)
+    np.testing.assert_allclose(np.asarray(same_img), np.asarray(img), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(same_lbl), np.asarray(lbl))
+    # scalar degrees d means (-d, d): a large-angle draw differs from input
+    rot_img, _ = rotate_pair(img, lbl, 45.0)
+    assert not np.allclose(np.asarray(rot_img), np.asarray(img))

@@ -52,7 +52,8 @@ def _build_flax(backbone="resnet50", head="deeplabv3plus"):
     return model, v["params"], v["batch_stats"]
 
 
-def test_export_import_roundtrip():
+@pytest.mark.parametrize("backbone", ["resnet18", "xception", "mobilenetv2"])
+def test_export_import_roundtrip(backbone):
     import jax
 
     from iswm_tpu.compat.torch_import import (
@@ -60,9 +61,9 @@ def test_export_import_roundtrip():
         import_torch_state_dict,
     )
 
-    _, params, stats = _build_flax("resnet18")
-    sd = export_torch_state_dict(params, stats, backbone="resnet18")
-    p2, s2 = import_torch_state_dict(sd, backbone="resnet18")
+    _, params, stats = _build_flax(backbone)
+    sd = export_torch_state_dict(params, stats, backbone=backbone)
+    p2, s2 = import_torch_state_dict(sd, backbone=backbone)
 
     for tree, tree2 in ((params, p2), (stats, s2)):
         leaves = jax.tree_util.tree_leaves_with_path(tree)

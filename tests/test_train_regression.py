@@ -1,35 +1,65 @@
-"""Golden end-to-end training-regression test (VERDICT r1 item 5).
+"""Golden end-to-end training-regression tests (VERDICT r1 item 5, r2 item 6).
 
-Fixed seed, resnet18, 20 steps on the synthetic set through the REAL
-Trainer (fused augment + loss + optimizer + scheduler + validation): the
-per-step loss trajectory and the step-20 weighted score are snapshotted in
-tests/golden/train_regression.json.  Any silent numerics change in the
-step/optimizer/BN/augment path fails this test.
+Fixed seed, 20 steps on the synthetic set through the REAL Trainer (fused
+augment + loss + optimizer + scheduler + validation): the per-step loss
+trajectory and the step-20 weighted score are snapshotted per config in
+tests/golden/train_regression*.json.  Any silent numerics change in the
+step/optimizer/BN/augment path fails these tests.  The config matrix covers
+the paths a single golden never touches:
+
+  resnet18         IW-CE @ OS=16  — weighted-mean loss normalization
+  resnet18_os8     CE @ OS=8      — dilated layers 3&4 + ASPP [12,24,36]
+  resnet18_focal   focal g=2      — the (1-pt)^gamma scaling path
+  mobilenetv2      CE @ OS=16     — inverted-residual blocks
 
 Regenerate deliberately (after an intentional numerics change) with:
   ISWM_REGEN_GOLDEN=1 PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
       python -m pytest tests/test_train_regression.py -q
 
-The snapshot is tied to CPU XLA numerics at float32; a jax/XLA major-version
-bump may legitimately shift values beyond tolerance — regenerate then, with
-a commit message saying why.
+Record the regeneration cause in PARITY.md ("Golden train-regression
+values regenerated...") so value diffs stay auditable.  The snapshots are
+tied to CPU XLA numerics at float32; a jax/XLA major-version bump may
+legitimately shift values beyond tolerance — regenerate then, with a
+commit message saying why.
+
+test_fused_ce_trajectory_matches_jnp is a live A/B rather than a golden:
+the same 20-step run with the Pallas fused-CE kernel (interpret mode) vs
+the jnp CE path must produce matching trajectories.
 """
 
 import json
 import os
 
 import numpy as np
+import pytest
 
-GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "train_regression.json")
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+# name -> (golden filename, config overrides)
+CONFIGS = {
+    "resnet18": ("train_regression.json", {}),
+    "resnet18_os8": (
+        "train_regression_os8.json",
+        {("model", "output_stride"): 8, ("loss", "loss_type"): "ce_loss"},
+    ),
+    "resnet18_focal": (
+        "train_regression_focal.json",
+        {
+            ("loss", "loss_type"): "focal_loss",
+            ("loss", "focal_alpha"): 0.25,
+            ("loss", "focal_gamma"): 2.0,
+        },
+    ),
+    "mobilenetv2": (
+        "train_regression_mbv2.json",
+        {("model", "backbone"): "mobilenetv2", ("loss", "loss_type"): "ce_loss"},
+    ),
+}
 
 
-def _run():
+def _base_config(tmp):
     from iswm_tpu.config import Config
-    from iswm_tpu.train.trainer import Trainer
 
-    import tempfile
-
-    tmp = tempfile.mkdtemp(prefix="golden_")
     cfg = Config()
     cfg.model.backbone = "resnet18"
     cfg.model.compute_dtype = "float32"
@@ -47,6 +77,18 @@ def _run():
     cfg.train.random_seed = 1234
     for k in ("log_dir", "checkpoints_dir", "val_results_dir", "metrics_plots_dir"):
         setattr(cfg.train, k, os.path.join(tmp, k))
+    return cfg
+
+
+def _run(overrides):
+    from iswm_tpu.train.trainer import Trainer
+
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="golden_")
+    cfg = _base_config(tmp)
+    for (section, key), value in overrides.items():
+        setattr(getattr(cfg, section), key, value)
 
     trainer = Trainer(cfg)
     result = trainer.fit()
@@ -64,26 +106,45 @@ def _run():
     }
 
 
-def test_training_trajectory_matches_golden():
-    got = _run()
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_training_trajectory_matches_golden(name):
+    fname, overrides = CONFIGS[name]
+    golden = os.path.join(GOLDEN_DIR, fname)
+    got = _run(overrides)
     if os.environ.get("ISWM_REGEN_GOLDEN"):
-        os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
-        with open(GOLDEN, "w") as f:
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        with open(golden, "w") as f:
             json.dump(got, f, indent=1)
-        raise AssertionError(f"golden regenerated at {GOLDEN}; rerun without "
+        raise AssertionError(f"golden regenerated at {golden}; rerun without "
                              f"ISWM_REGEN_GOLDEN")
-    assert os.path.exists(GOLDEN), (
-        f"golden file missing; generate with ISWM_REGEN_GOLDEN=1 ({GOLDEN})"
+    assert os.path.exists(golden), (
+        f"golden file missing; generate with ISWM_REGEN_GOLDEN=1 ({golden})"
     )
-    with open(GOLDEN) as f:
+    with open(golden) as f:
         want = json.load(f)
     np.testing.assert_allclose(
         got["losses"], want["losses"], rtol=2e-4,
-        err_msg="training loss trajectory drifted from golden snapshot",
+        err_msg=f"[{name}] training loss trajectory drifted from golden",
     )
     np.testing.assert_allclose(
         got["best_weighted_score"], want["best_weighted_score"], atol=2e-4,
-        err_msg="validation weighted score drifted from golden snapshot",
+        err_msg=f"[{name}] validation weighted score drifted from golden",
     )
     # sanity: training actually learns on the synthetic set
     assert np.mean(got["losses"][-5:]) < np.mean(got["losses"][:5])
+
+
+def test_fused_ce_trajectory_matches_jnp():
+    """The Pallas fused-CE kernel (interpret mode on CPU) and the jnp CE
+    path must train identically: same 20-step loss trajectory and weighted
+    score to f32 tolerance (VERDICT r2 item 6)."""
+    jnp_run = _run({("loss", "fused_kernel"): "never"})
+    fused_run = _run({("loss", "fused_kernel"): "interpret"})
+    np.testing.assert_allclose(
+        fused_run["losses"], jnp_run["losses"], rtol=5e-5,
+        err_msg="fused-CE kernel trajectory diverged from the jnp CE path",
+    )
+    np.testing.assert_allclose(
+        fused_run["best_weighted_score"], jnp_run["best_weighted_score"],
+        atol=1e-4,
+    )
