@@ -23,6 +23,11 @@ def main() -> int:
     ap.add_argument("--out", default="demo_out")
     ap.add_argument("--scene", type=int, default=1024)
     ap.add_argument("--tile", type=int, default=256)
+    ap.add_argument("--tile_batch", type=int, default=4)
+    ap.add_argument("--reps", type=int, default=1,
+                    help="steady-state timing repetitions (median reported)")
+    ap.add_argument("--no_products", action="store_true",
+                    help="skip writing PNGs (pure throughput run)")
     ap.add_argument("--ckpt", default=None)
     args = ap.parse_args()
 
@@ -57,21 +62,34 @@ def main() -> int:
         cfg.model.compute_dtype = "float32"
     cfg.predict.tile_size = args.tile
     cfg.predict.tile_overlap = args.tile // 8
-    cfg.predict.tile_batch = 4
+    cfg.predict.tile_batch = args.tile_batch
     cfg.predict.save_confidence = True
 
     predictor = Predictor(cfg, ckpt_path=args.ckpt)
     t0 = time.time()
     products = predictor.predict_image(scene)
     dt_cold = time.time() - t0
-    t0 = time.time()
-    products = predictor.predict_image(scene)  # steady state (compiled)
-    dt = time.time() - t0
+    times = []
+    for _ in range(max(1, args.reps)):
+        t0 = time.time()
+        products = predictor.predict_image(scene)  # steady state (compiled)
+        times.append(time.time() - t0)
+    dt = sorted(times)[len(times) // 2]
     h, w = scene.shape[:2]
     print(
         f"scene {h}x{w} -> {dt:.2f}s steady-state "
         f"({h * w / dt / 1e6:.1f} MPix/s; first call incl. compile {dt_cold:.1f}s)"
     )
+    try:  # device memory behavior (peak bytes), where the backend reports it
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        if peak:
+            print(f"device peak memory: {peak / 1e9:.2f} GB "
+                  f(in use now: {stats.get('bytes_in_use', 0) / 1e9:.2f} GB)")
+    except Exception:
+        pass
 
     os.makedirs(args.out, exist_ok=True)
     Image.fromarray(scene).save(os.path.join(args.out, "scene.png"))

@@ -28,8 +28,10 @@ def get_argparser() -> argparse.ArgumentParser:
                    choices=["bfloat16", "float32"])
     p.add_argument("--variants", type=str, default="f32,bf16,int8",
                    # also available: int8_act (fake-quant PTQ sim), int8_exec
-                   # (real int8 Pallas matmuls in eligible 1x1 convs)
-                   help="comma-separated: f32,bf16,int8,int8_act,int8_exec")
+                   # (real int8 Pallas matmuls in eligible 1x1 convs),
+                   # int8_exec_xla (same sites, XLA-lowered int8 convs)
+                   help="comma-separated: "
+                        "f32,bf16,int8,int8_act,int8_exec,int8_exec_xla")
     p.add_argument("--max_images", type=int, default=None)
     p.add_argument("--sequence_length", type=int, default=7)
     p.add_argument("--comparison_dir", type=str, default=None,

@@ -189,26 +189,38 @@ def make_act_quant_fn(model, batch_stats, params, scales: Dict[str, float]) -> C
 
 
 # ------------------------------------------------------- executed int8
-def _int8_exec_eligible(module) -> bool:
-    """1x1 stride-1 dense convs whose channel counts tile the MXU lanes:
-    the sites quantized_conv1x1 can execute as real int8 matmuls (ASPP b0
-    2048->256, ASPP projection 1280->256, the resnet bottleneck 1x1s from
-    layer2 up; reference hot spots _deeplab.py:161-172)."""
+def _int8_exec_eligible(module, wide: bool = False) -> bool:
+    """int8-executable conv sites.
+
+    Default (Pallas backend): 1x1 stride-1 dense convs whose channel counts
+    tile the MXU lanes — the sites quantized_conv1x1 can execute as real
+    int8 matmuls (ASPP b0 2048->256, ASPP projection 1280->256, the resnet
+    bottleneck 1x1s from layer2 up; reference hot spots _deeplab.py:161-172).
+
+    ``wide`` (XLA backend): ANY dense conv — XLA's int8 conv lowering
+    handles arbitrary kernel/stride/dilation at the 2× MXU rate
+    (BASELINE.md "int8 via XLA"); zero padding is exact under symmetric
+    quantization.  The interceptor still gates on input channels (>=128)
+    to keep the stem in bf16.
+    """
     import flax.linen as nn
 
-    strides = module.strides if isinstance(module, nn.Conv) else None
+    if not (isinstance(module, nn.Conv) and module.feature_group_count == 1):
+        return False
+    if wide:
+        return True
+    strides = module.strides
     if isinstance(strides, int):
         strides = (strides, strides)
     return (
-        isinstance(module, nn.Conv)
-        and tuple(module.kernel_size) == (1, 1)
+        tuple(module.kernel_size) == (1, 1)
         and tuple(strides or (1, 1)) == (1, 1)
-        and module.feature_group_count == 1
     )
 
 
 def calibrate_conv_inputs(
-    model, params, batch_stats, batches, max_batches: int = 25
+    model, params, batch_stats, batches, max_batches: int = 25,
+    wide: bool = False,
 ) -> Dict[str, float]:
     """Per-conv input absmax/127 scales for the int8-executable sites."""
     import flax.linen as nn
@@ -217,12 +229,15 @@ def calibrate_conv_inputs(
 
     def observer(next_fn, args, kwargs, context):
         if (
-            _int8_exec_eligible(context.module)
+            _int8_exec_eligible(context.module, wide)
             and context.method_name == "__call__"
             and args
         ):
             x = args[0]
-            if x.ndim == 4 and x.shape[-1] % 128 == 0:
+            ch_ok = (
+                x.shape[-1] >= 128 if wide else x.shape[-1] % 128 == 0
+            )
+            if x.ndim == 4 and ch_ok:
                 key = "/".join(context.module.path)
                 absmax[key] = max(
                     absmax.get(key, 0.0), float(jnp.max(jnp.abs(x)))
@@ -240,21 +255,49 @@ def calibrate_conv_inputs(
 
 
 def make_int8_exec_fn(
-    model, batch_stats, params, conv_scales: Dict[str, float]
+    model, batch_stats, params, conv_scales: Dict[str, float],
+    backend: str = "pallas",
+    wide: Optional[bool] = None,
 ) -> Callable:
-    """EXECUTED int8: eligible 1x1 convs run as int8 x int8 -> int32 Pallas
-    matmuls (ops/pallas/int8_matmul.quantized_conv1x1) with calibrated
-    input scales; everything else dequantizes to bf16 as in the weight-only
-    variant.  This is the measured-latency int8 row the reference's fbgemm
-    pipeline has (evaluate_quantization.py:112-154) — see BASELINE.md for
-    the v5e finding that Mosaic's int8 matmul runs at bf16 rate, so this
-    is about honest measurement, not a speed claim."""
+    """EXECUTED int8: eligible convs run as int8 x int8 -> int32
+    contractions with calibrated input scales; everything else dequantizes
+    to bf16 as in the weight-only variant.  This is the measured-latency
+    int8 row the reference's fbgemm pipeline has
+    (evaluate_quantization.py:112-154).
+
+    ``backend`` selects the lowering: 'pallas'
+    (ops/pallas/int8_matmul.quantized_conv1x1, 1x1 sites only, measured at
+    ≈bf16 rate on v5e — Mosaic limitation, BASELINE.md) or 'xla'
+    (ops/int8_xla: lax.conv with int8 operands, lowered by XLA at the 2×
+    int8 MXU rate — BASELINE.md "int8 via XLA").  ``wide`` (default: True
+    for the xla backend) extends eligibility to every dense conv with
+    >=128 input channels (3x3s, strided, dilated); calibrate with the same
+    ``wide`` flag."""
     import flax.linen as nn
 
-    from ..ops.pallas.int8_matmul import quantized_conv1x1
+    if wide is None:
+        wide = backend == "xla"
+    if backend == "xla":
+        from ..ops.int8_xla import quantized_conv_xla
+
+        def run_conv(x, w_q, w_scale, x_scale, module):
+            return quantized_conv_xla(
+                x, w_q, w_scale, x_scale,
+                strides=module.strides or (1, 1),
+                padding=module.padding,
+                dilation=module.kernel_dilation or (1, 1),
+            )
+    else:
+        from ..ops.pallas.int8_matmul import quantized_conv1x1
+
+        interpret = jax.default_backend() != "tpu"
+
+        def run_conv(x, w_q, w_scale, x_scale, module):
+            return quantized_conv1x1(
+                x, w_q, w_scale, x_scale, interpret=interpret
+            )
 
     q, s = quantize_params_int8(params)
-    interpret = jax.default_backend() != "tpu"
     routed = []
 
     def _lookup(tree, path):
@@ -265,23 +308,22 @@ def make_int8_exec_fn(
 
     def interceptor(next_fn, args, kwargs, context):
         if not (
-            _int8_exec_eligible(context.module)
+            _int8_exec_eligible(context.module, wide)
             and context.method_name == "__call__"
             and args
         ):
             return next_fn(*args, **kwargs)
         x = args[0]
         key = "/".join(context.module.path)
-        if x.ndim != 4 or x.shape[-1] % 128 or key not in conv_scales:
+        ch_ok = x.shape[-1] >= 128 if wide else x.shape[-1] % 128 == 0
+        if x.ndim != 4 or not ch_ok or key not in conv_scales:
             return next_fn(*args, **kwargs)
         w_q = _lookup(q, context.module.path)["kernel"]
-        if w_q.dtype != jnp.int8 or w_q.shape[-1] % 128:
+        if w_q.dtype != jnp.int8 or (not wide and w_q.shape[-1] % 128):
             return next_fn(*args, **kwargs)
         w_scale = _lookup(s, context.module.path)["kernel"]
         routed.append(key)
-        out = quantized_conv1x1(
-            x, w_q, w_scale, conv_scales[key], interpret=interpret
-        )
+        out = run_conv(x, w_q, w_scale, conv_scales[key], context.module)
         if context.module.use_bias:  # not used by ConvBN, kept for safety
             out = out + _lookup(q, context.module.path)["bias"]
         return out.astype(x.dtype)
@@ -326,10 +368,13 @@ def make_variant_fn(
         if act_scales is None:
             raise ValueError("int8_act requires act_scales (run calibration)")
         return make_act_quant_fn(model, batch_stats, params, act_scales)
-    if name == "int8_exec":
+    if name in ("int8_exec", "int8_exec_xla"):
         if conv_scales is None:
-            raise ValueError("int8_exec requires conv_scales (run calibration)")
-        return make_int8_exec_fn(model, batch_stats, params, conv_scales)
+            raise ValueError(f"{name} requires conv_scales (run calibration)")
+        return make_int8_exec_fn(
+            model, batch_stats, params, conv_scales,
+            backend="xla" if name.endswith("_xla") else "pallas",
+        )
     if name == "f32":
         use_params = cast_params(params, jnp.float32)
     elif name == "bf16":
@@ -466,7 +511,7 @@ def compare_variants(
 
     act_scales = None
     conv_scales = None
-    if "int8_act" in variants or "int8_exec" in variants:
+    if "int8_act" in variants or any(v.startswith("int8_exec") for v in variants):
         from ..data.transforms import normalize
 
         def calib_iter():
@@ -479,9 +524,12 @@ def compare_variants(
             act_scales = calibrate_activations(
                 model, params, batch_stats, calib_iter(), calibration_batches
             )
-        if "int8_exec" in variants:
+        if any(v.startswith("int8_exec") for v in variants):
+            # wide calibration is a superset of the 1x1-only site set, so
+            # it serves both backends when the xla variant is requested
             conv_scales = calibrate_conv_inputs(
-                model, params, batch_stats, calib_iter(), calibration_batches
+                model, params, batch_stats, calib_iter(), calibration_batches,
+                wide=any(v == "int8_exec_xla" for v in variants),
             )
 
     for name in variants:

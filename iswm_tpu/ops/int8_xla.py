@@ -1,0 +1,116 @@
+"""XLA-lowered int8 compute path (no Pallas).
+
+The Mosaic/Pallas int8 matmul plateaus at ≈ the bf16 rate on v5e (BASELINE.md
+"int8 serving": prequant 24.0 vs bf16-XLA 25.2 TOP/s), leaving open whether
+XLA's own lowering of ``lax.dot_general``/``lax.conv_general_dilated`` with
+int8 operands and ``preferred_element_type=int32`` engages the 2× int8 MXU
+rate.  These are the XLA-side equivalents of ``ops.pallas.int8_matmul`` —
+same calibrated-scale contract, lowered entirely by XLA — measured against
+the Pallas and bf16 rows by scripts/int8_xla_bench.py; `make_int8_exec_fn`
+(infer/quantization.py) can route through either backend.
+
+Quantization contract (matches ops/pallas/int8_matmul.py): symmetric
+per-tensor activation scale (clip to ±127), per-output-channel weight scale
+in the layout ``quantize_params_int8`` produces.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_activations(x: jax.Array, x_scale) -> jax.Array:
+    """float [..] -> int8 with symmetric per-tensor scale."""
+    x_scale = jnp.asarray(x_scale, jnp.float32)
+    return jnp.clip(
+        jnp.round(x.astype(jnp.float32) / x_scale), -127, 127
+    ).astype(jnp.int8)
+
+
+def int8_matmul_xla(
+    x: jax.Array,  # [M, K] float
+    w_q: jax.Array,  # [K, N] int8
+    w_scale: jax.Array,  # [N]
+    x_scale,
+) -> jax.Array:
+    """[M, K] float @ [K, N] int8 -> [M, N] f32, int8 MXU contraction."""
+    x_q = quantize_activations(x, x_scale)
+    acc = jax.lax.dot_general(
+        x_q, w_q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return (
+        acc.astype(jnp.float32)
+        * jnp.asarray(x_scale, jnp.float32)
+        * jnp.asarray(w_scale, jnp.float32)
+    )
+
+
+def int8_matmul_prequant_xla(
+    x_q: jax.Array,  # [M, K] int8
+    w_q: jax.Array,  # [K, N] int8
+    w_scale: jax.Array,  # [N]
+    x_scale,
+) -> jax.Array:
+    """Pre-quantized variant (isolates the MXU path from the VPU quantize)."""
+    acc = jax.lax.dot_general(
+        x_q, w_q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return (
+        acc.astype(jnp.float32)
+        * jnp.asarray(x_scale, jnp.float32)
+        * jnp.asarray(w_scale, jnp.float32)
+    )
+
+
+def quantized_conv_xla(
+    x: jax.Array,  # [B, H, W, Cin] float
+    w_q: jax.Array,  # [kh, kw, Cin, Cout] int8 (HWIO)
+    w_scale: jax.Array,  # [1, 1, 1, Cout]
+    x_scale,
+    *,
+    strides=(1, 1),
+    padding="VALID",
+    dilation=(1, 1),
+) -> jax.Array:
+    """General dense conv with int8 operands, geometry passed through from
+    the source ``nn.Conv`` (zero padding is exact under symmetric
+    quantization: 0 maps to 0).  XLA lowers this at the 2× int8 MXU rate
+    (BASELINE.md "int8 via XLA")."""
+    x_q = quantize_activations(x, x_scale)
+    if isinstance(strides, int):
+        strides = (strides, strides)
+    if isinstance(dilation, int):
+        dilation = (dilation, dilation)
+    acc = jax.lax.conv_general_dilated(
+        x_q, w_q, tuple(strides), padding,
+        rhs_dilation=tuple(dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return (
+        acc.astype(jnp.float32)
+        * jnp.asarray(x_scale, jnp.float32)
+        * jnp.asarray(w_scale, jnp.float32).reshape(-1)
+    )
+
+
+def quantized_conv1x1_xla(
+    x: jax.Array,  # [B, H, W, Cin] float
+    w_q: jax.Array,  # [1, 1, Cin, Cout] int8 (HWIO)
+    w_scale: jax.Array,  # [1, 1, 1, Cout]
+    x_scale,
+) -> jax.Array:
+    """1x1 conv with the contraction expressed as an int8 conv XLA lowers
+    itself (same contract as ops.pallas.int8_matmul.quantized_conv1x1)."""
+    x_q = quantize_activations(x, x_scale)
+    acc = jax.lax.conv_general_dilated(
+        x_q, w_q, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return (
+        acc.astype(jnp.float32)
+        * jnp.asarray(x_scale, jnp.float32)
+        * jnp.asarray(w_scale, jnp.float32).reshape(-1)
+    )

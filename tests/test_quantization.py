@@ -171,3 +171,94 @@ def test_int8_exec_variant(small_model):
     logits_f = np.asarray(ref(x))
     agree = float((logits_q.argmax(-1) == logits_f.argmax(-1)).mean())
     assert agree > 0.97, f"int8-exec mask agreement {agree}"
+
+
+def test_int8_xla_matmul_matches_reference():
+    """The XLA-lowered int8 contraction (ops/int8_xla) computes the same
+    quantize -> integer matmul -> dequantize as the Pallas kernel's
+    numpy oracle."""
+    import jax.numpy as jnp
+
+    from iswm_tpu.ops.int8_xla import int8_matmul_xla, int8_matmul_prequant_xla
+
+    rng = np.random.default_rng(21)
+    m, k, n = 100, 256, 128
+    x = jnp.asarray(rng.normal(size=(m, k)), jnp.float32)
+    w = rng.normal(size=(k, n)).astype(np.float32)
+    w_amax = np.abs(w).max(axis=0)
+    w_scale = np.where(w_amax > 0, w_amax / 127.0, 1.0)
+    w_q = np.clip(np.round(w / w_scale), -127, 127).astype(np.int8)
+    x_scale = float(np.abs(np.asarray(x)).max() / 127.0)
+
+    got = int8_matmul_xla(x, jnp.asarray(w_q), jnp.asarray(w_scale), x_scale)
+    x_q = np.clip(np.round(np.asarray(x) / x_scale), -127, 127)
+    ref = (x_q @ w_q.astype(np.int64)) * x_scale * w_scale
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5)
+
+    got_pq = int8_matmul_prequant_xla(
+        jnp.asarray(x_q, jnp.int8), jnp.asarray(w_q), jnp.asarray(w_scale),
+        x_scale,
+    )
+    np.testing.assert_allclose(np.asarray(got_pq), ref, rtol=1e-5)
+
+
+def test_quantized_conv1x1_xla_matches_dense():
+    import jax
+    import jax.numpy as jnp
+
+    from iswm_tpu.infer.quantization import quantize_params_int8
+    from iswm_tpu.ops.int8_xla import quantized_conv1x1_xla
+
+    rng = np.random.default_rng(22)
+    x = jnp.asarray(rng.normal(size=(2, 8, 16, 256)), jnp.float32)
+    params = {"proj": {"kernel": jnp.asarray(rng.normal(size=(1, 1, 256, 128)),
+                                             jnp.float32)}}
+    q, s = quantize_params_int8(params)
+    x_scale = float(jnp.max(jnp.abs(x))) / 127.0
+    got = quantized_conv1x1_xla(x, q["proj"]["kernel"], s["proj"]["kernel"],
+                                x_scale)
+    dense = jax.lax.conv_general_dilated(
+        x, params["proj"]["kernel"], (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    rel = float(jnp.max(jnp.abs(got - dense)) / jnp.max(jnp.abs(dense)))
+    assert got.shape == (2, 8, 16, 128)
+    assert rel < 0.05
+    # and bit-identical to the Pallas kernel's quantization contract
+    from iswm_tpu.ops.pallas.int8_matmul import quantized_conv1x1
+
+    pallas = quantized_conv1x1(x, q["proj"]["kernel"], s["proj"]["kernel"],
+                               x_scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(pallas), rtol=1e-5)
+
+
+def test_int8_exec_xla_variant(small_model):
+    """backend='xla' with wide calibration routes general convs (3x3s, the
+    decoder classifier) in addition to the 1x1 sites, and stays in mask
+    agreement with f32."""
+    import jax.numpy as jnp
+
+    from iswm_tpu.infer.quantization import (
+        calibrate_conv_inputs,
+        make_int8_exec_fn,
+        make_variant_fn,
+    )
+
+    model, params, batch_stats = small_model
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
+
+    conv_scales = calibrate_conv_inputs(model, params, batch_stats, [x],
+                                        wide=True)
+    fn = make_int8_exec_fn(model, batch_stats, params, conv_scales,
+                           backend="xla")
+    logits_q = np.asarray(fn(x))
+    routed = set(fn.routed_sites)
+    assert "head/aspp/project/conv" in routed
+    # wide coverage: at least one non-1x1 site routes (decoder 3x3)
+    assert any("cls0" in k or "cls1" in k for k in routed), sorted(routed)
+
+    ref = make_variant_fn(model, batch_stats, params, "f32")
+    logits_f = np.asarray(ref(x))
+    agree = float((logits_q.argmax(-1) == logits_f.argmax(-1)).mean())
+    assert agree > 0.97, f"int8-exec-xla mask agreement {agree}"
