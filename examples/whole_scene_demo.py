@@ -87,7 +87,7 @@ def main() -> int:
         peak = stats.get("peak_bytes_in_use")
         if peak:
             print(f"device peak memory: {peak / 1e9:.2f} GB "
-                  f(in use now: {stats.get('bytes_in_use', 0) / 1e9:.2f} GB)")
+                  f"(in use now: {stats.get('bytes_in_use', 0) / 1e9:.2f} GB)")
     except Exception:
         pass
 
