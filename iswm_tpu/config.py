@@ -197,6 +197,11 @@ class PredictConfig:
     tile_size: int = 512
     tile_overlap: int = 64
     tile_batch: int = 8
+    # Serving precision: bf16 (native) | int8 (weight-only, 4x smaller) |
+    # int8_exec_xla (XLA int8 convs — measured FASTER than bf16 on v5e,
+    # BASELINE.md "int8 via XLA"; calibrates activation scales on the
+    # first scene's tiles)
+    serving_variant: str = "bf16"
 
 
 @dataclass

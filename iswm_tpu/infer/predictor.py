@@ -74,13 +74,57 @@ class Predictor:
                 train=False,
             ).astype(jnp.float32)
 
-        self.engine = TileEngine(
-            model_fn,
+        variant = cfg.predict.serving_variant
+        self._needs_calibration = False
+        if variant == "int8":
+            # weight-only: no calibration needed, build immediately
+            from .quantization import make_variant_fn
+
+            model_fn = make_variant_fn(
+                self.model, self.batch_stats, self.params, "int8"
+            )
+        elif variant.startswith("int8_exec"):
+            # activation scales calibrate on the first scene's tiles
+            # (predict_image), after which the engine is rebuilt once
+            self._needs_calibration = True
+        elif variant != "bf16":
+            raise ValueError(f"unknown serving_variant {variant!r}")
+
+        self._make_engine = lambda fn: TileEngine(
+            fn,
             tile=cfg.predict.tile_size,
             overlap=cfg.predict.tile_overlap,
             batch=cfg.predict.tile_batch,
             num_classes=cfg.model.num_classes,
         )
+        self.engine = self._make_engine(model_fn)
+
+    def _calibrate_int8(self, scene: jax.Array) -> None:
+        """Calibrate conv input scales on tiles of the first real scene and
+        swap the tile engine onto the int8 serving fn (one-time rebuild)."""
+        from .quantization import calibrate_conv_inputs, make_variant_fn
+
+        t = self.cfg.predict.tile_size
+        h, w = scene.shape[:2]
+        tiles = []
+        for ty, tx in ((0, 0), (max(0, h - t), max(0, w - t)),
+                       (max(0, (h - t) // 2), max(0, (w - t) // 2))):
+            tile = scene[ty : ty + t, tx : tx + t]
+            if tile.shape[0] == t and tile.shape[1] == t:
+                tiles.append(jnp.asarray(tile, jnp.float32)[None])
+        if not tiles:  # scene smaller than a tile: pad one
+            pad_h, pad_w = t - h, t - w
+            tiles = [jnp.pad(jnp.asarray(scene, jnp.float32),
+                             ((0, pad_h), (0, pad_w), (0, 0)))[None]]
+        conv_scales = calibrate_conv_inputs(
+            self.model, self.params, self.batch_stats, tiles, wide=True
+        )
+        fn = make_variant_fn(
+            self.model, self.batch_stats, self.params,
+            self.cfg.predict.serving_variant, conv_scales=conv_scales,
+        )
+        self.engine = self._make_engine(lambda imgs: fn(imgs))
+        self._needs_calibration = False
 
     # ------------------------------------------------------------- single
     def predict_image(self, image: np.ndarray) -> Dict[str, np.ndarray]:
@@ -92,6 +136,8 @@ class Predictor:
         """
         cfg = self.cfg.predict
         x = val_transform_batch(jnp.asarray(image)[None])[0]
+        if self._needs_calibration:
+            self._calibrate_int8(x)
         logits = self.engine.infer_scene(x)
         probs = np.asarray(jax.nn.softmax(logits, axis=-1))
         prob_fg = probs[..., 1]

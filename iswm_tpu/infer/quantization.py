@@ -200,11 +200,18 @@ def _int8_exec_eligible(module, wide: bool = False) -> bool:
     ``wide`` (XLA backend): ANY dense conv — XLA's int8 conv lowering
     handles arbitrary kernel/stride/dilation at the 2× MXU rate
     (BASELINE.md "int8 via XLA"); zero padding is exact under symmetric
-    quantization.  The interceptor still gates on input channels (>=128)
-    to keep the stem in bf16.
+    quantization.  Wide mode also covers the ShiftedDilatedConv valid-tap
+    atrous branches (the ASPP hot spots) via int8 tap matmuls
+    (ops/int8_xla.int8_shifted_dilated_conv).  The interceptor still gates
+    on input channels (>=64) to keep the stem in bf16.
     """
     import flax.linen as nn
 
+    if wide:
+        from ..models.layers import ShiftedDilatedConv
+
+        if isinstance(module, ShiftedDilatedConv):
+            return True
     if not (isinstance(module, nn.Conv) and module.feature_group_count == 1):
         return False
     if wide:
@@ -235,7 +242,7 @@ def calibrate_conv_inputs(
         ):
             x = args[0]
             ch_ok = (
-                x.shape[-1] >= 128 if wide else x.shape[-1] % 128 == 0
+                x.shape[-1] >= 64 if wide else x.shape[-1] % 128 == 0
             )
             if x.ndim == 4 and ch_ok:
                 key = "/".join(context.module.path)
@@ -278,9 +285,17 @@ def make_int8_exec_fn(
     if wide is None:
         wide = backend == "xla"
     if backend == "xla":
-        from ..ops.int8_xla import quantized_conv_xla
+        from ..models.layers import ShiftedDilatedConv
+        from ..ops.int8_xla import (
+            int8_shifted_dilated_conv,
+            quantized_conv_xla,
+        )
 
         def run_conv(x, w_q, w_scale, x_scale, module):
+            if isinstance(module, ShiftedDilatedConv):
+                return int8_shifted_dilated_conv(
+                    x, w_q, w_scale, x_scale, module.dilation
+                )
             return quantized_conv_xla(
                 x, w_q, w_scale, x_scale,
                 strides=module.strides or (1, 1),
@@ -315,7 +330,7 @@ def make_int8_exec_fn(
             return next_fn(*args, **kwargs)
         x = args[0]
         key = "/".join(context.module.path)
-        ch_ok = x.shape[-1] >= 128 if wide else x.shape[-1] % 128 == 0
+        ch_ok = x.shape[-1] >= 64 if wide else x.shape[-1] % 128 == 0
         if x.ndim != 4 or not ch_ok or key not in conv_scales:
             return next_fn(*args, **kwargs)
         w_q = _lookup(q, context.module.path)["kernel"]
@@ -324,7 +339,8 @@ def make_int8_exec_fn(
         w_scale = _lookup(s, context.module.path)["kernel"]
         routed.append(key)
         out = run_conv(x, w_q, w_scale, conv_scales[key], context.module)
-        if context.module.use_bias:  # not used by ConvBN, kept for safety
+        if getattr(context.module, "use_bias", False):
+            # not used by ConvBN/ShiftedDilatedConv, kept for safety
             out = out + _lookup(q, context.module.path)["bias"]
         return out.astype(x.dtype)
 

@@ -95,6 +95,47 @@ def quantized_conv_xla(
     )
 
 
+def int8_shifted_dilated_conv(
+    x: jax.Array,  # [B, H, W, C] float
+    kernel_q: jax.Array,  # [3, 3, C, F] int8
+    w_scale: jax.Array,  # [1, 1, 1, F]
+    x_scale,
+    d: int,
+) -> jax.Array:
+    """int8 version of the valid-tap shifted-matmul atrous conv
+    (models/layers.ShiftedDilatedConv): each tap's dot_general runs
+    int8×int8→int32 on the MXU at the 2× rate, keeping the valid-window
+    FLOP savings that motivated the tap decomposition (the skipped padding
+    FLOPs at d≈map-extent).  Math matches Conv2d(3,3,dilation=d,padding=d)
+    under the symmetric-quantization contract (zeros map to zeros)."""
+    b, h, w, c = x.shape
+    x_q = quantize_activations(x, x_scale)
+    acc = None
+    for i, dy in enumerate((-d, 0, d)):
+        for j, dx in enumerate((-d, 0, d)):
+            ys, ye = max(0, -dy), h - max(0, dy)
+            xs, xe = max(0, -dx), w - max(0, dx)
+            if ye <= ys or xe <= xs:
+                continue  # tap entirely in padding
+            src = jax.lax.slice(
+                x_q, (0, ys + dy, xs + dx, 0), (b, ye + dy, xe + dx, c)
+            )
+            t = jax.lax.dot_general(
+                src, kernel_q[i, j], (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            t = jax.lax.pad(
+                t, jnp.zeros((), jnp.int32),
+                ((0, 0, 0), (ys, h - ye, 0), (xs, w - xe, 0), (0, 0, 0)),
+            )
+            acc = t if acc is None else acc + t
+    return (
+        acc.astype(jnp.float32)
+        * jnp.asarray(x_scale, jnp.float32)
+        * jnp.asarray(w_scale, jnp.float32).reshape(-1)
+    )
+
+
 def quantized_conv1x1_xla(
     x: jax.Array,  # [B, H, W, Cin] float
     w_q: jax.Array,  # [1, 1, Cin, Cout] int8 (HWIO)

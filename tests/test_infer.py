@@ -203,3 +203,43 @@ def test_tile_engine_multichip_mesh_matches_single():
     out2 = np.asarray(multi.infer_scene(scene))
     assert out1.shape == out2.shape == (300, 280, 2)
     np.testing.assert_allclose(out1, out2, rtol=1e-5, atol=1e-5)
+
+
+def test_predictor_int8_serving_variant(tmp_path):
+    """serving_variant='int8_exec_xla': first-scene calibration swaps the
+    tile engine onto the int8 fn; masks agree with the bf16 predictor."""
+    from iswm_tpu.config import Config
+    from iswm_tpu.infer import Predictor
+
+    def make_cfg(variant):
+        cfg = Config()
+        cfg.model.backbone = "resnet18"
+        cfg.model.compute_dtype = "float32"
+        cfg.predict.tile_size = 32
+        cfg.predict.tile_overlap = 8
+        cfg.predict.tile_batch = 2
+        cfg.predict.serving_variant = variant
+        return cfg
+
+    img = np.random.default_rng(3).integers(0, 255, (48, 48, 3), dtype=np.uint8)
+    ref = Predictor(make_cfg("bf16"), ckpt_path=None).predict_image(img)
+
+    p = Predictor(make_cfg("int8_exec_xla"), ckpt_path=None)
+    assert p._needs_calibration
+    got = p.predict_image(img)
+    assert not p._needs_calibration
+    agree = float((got["mask"] == ref["mask"]).mean())
+    assert agree > 0.95, f"int8 serving mask agreement {agree}"
+    # second call reuses the calibrated engine
+    again = p.predict_image(img)
+    np.testing.assert_array_equal(again["mask"], got["mask"])
+
+    # weight-only int8 needs no calibration
+    p8 = Predictor(make_cfg("int8"), ckpt_path=None)
+    assert not p8._needs_calibration
+    assert p8.predict_image(img)["mask"].shape == (48, 48)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="serving_variant"):
+        Predictor(make_cfg("fp4"), ckpt_path=None)

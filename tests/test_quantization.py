@@ -262,3 +262,27 @@ def test_int8_exec_xla_variant(small_model):
     logits_f = np.asarray(ref(x))
     agree = float((logits_q.argmax(-1) == logits_f.argmax(-1)).mean())
     assert agree > 0.97, f"int8-exec-xla mask agreement {agree}"
+
+
+def test_int8_shifted_dilated_matches_dense():
+    """int8 valid-tap atrous conv vs the f32 ShiftedDilatedConv math."""
+    import jax.numpy as jnp
+
+    from iswm_tpu.models.layers import dilated_conv3x3
+    from iswm_tpu.infer.quantization import quantize_params_int8
+    from iswm_tpu.ops.int8_xla import int8_shifted_dilated_conv
+
+    rng = np.random.default_rng(31)
+    for d in (2, 6):
+        x = jnp.asarray(rng.normal(size=(1, 16, 16, 64)), jnp.float32)
+        params = {"k": {"kernel": jnp.asarray(
+            rng.normal(size=(3, 3, 64, 128)), jnp.float32)}}
+        q, s = quantize_params_int8(params)
+        x_scale = float(jnp.max(jnp.abs(x))) / 127.0
+        got = int8_shifted_dilated_conv(
+            x, q["k"]["kernel"], s["k"]["kernel"], x_scale, d
+        )
+        dense = dilated_conv3x3(x, params["k"]["kernel"], d)
+        rel = float(jnp.max(jnp.abs(got - dense)) / jnp.max(jnp.abs(dense)))
+        assert got.shape == dense.shape
+        assert rel < 0.06, (d, rel)
