@@ -32,7 +32,8 @@ import numpy as np
 A100_TRAIN_TILES_PER_SEC = 95.0  # documented estimate, see module docstring
 
 
-def build(batch: int, size: int, backbone: str = "resnet50", output_stride: int = 16):
+def build(batch: int, size: int, backbone: str = "resnet50", output_stride: int = 16,
+          int8_training: bool = False):
     from iswm_tpu.config import Config
     from iswm_tpu.models import build_model
     from iswm_tpu.ops import make_loss_fn
@@ -43,6 +44,7 @@ def build(batch: int, size: int, backbone: str = "resnet50", output_stride: int 
     cfg.model.backbone = backbone
     cfg.model.output_stride = output_stride
     cfg.model.compute_dtype = "bfloat16"
+    cfg.model.int8_training = int8_training  # experimental QAT fwd convs
     model = build_model(cfg.model)
     tx, _ = make_optimizer(cfg.optim, total_itrs=30000)
     loss_fn = make_loss_fn("ce_loss")
@@ -106,6 +108,8 @@ def main() -> int:
     # honestly clocked by a final host fetch.
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--backbone", default="resnet50")
+    ap.add_argument("--int8_training", action="store_true",
+                    help="experimental: int8 forward convs (QAT) in the train step")
     ap.add_argument("--output_stride", type=int, default=16, choices=(8, 16))
     args = ap.parse_args()
 
@@ -125,7 +129,8 @@ def main() -> int:
     for b in batches:
         try:
             state, train_step, eval_step, images, labels, rng = build(
-                b, args.size, args.backbone, args.output_stride
+                b, args.size, args.backbone, args.output_stride,
+                int8_training=args.int8_training
             )
             # warm up / compile both paths
             state, m = train_step(state, images, labels, rng)

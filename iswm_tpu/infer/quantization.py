@@ -135,23 +135,33 @@ def calibrate_activations(
     """
     import flax.linen as nn
 
-    absmax: Dict[str, float] = {}
+    site_vals: Dict[str, jax.Array] = {}
 
     def observer(next_fn, args, kwargs, context):
         out = next_fn(*args, **kwargs)
         if _activation_sites(context.module) and context.method_name == "__call__":
             key = "/".join(context.module.path)
-            a = float(jnp.max(jnp.abs(out)))
-            absmax[key] = max(absmax.get(key, 0.0), a)
+            site_vals[key] = jnp.max(jnp.abs(out.astype(jnp.float32)))
         return out
 
+    # jitted observer pass: one compiled program per batch shape instead of
+    # eager per-op dispatches (minutes-slow on remote backends)
+    @jax.jit
+    def observe(images):
+        site_vals.clear()
+        with nn.intercept_methods(observer):
+            model.apply(
+                {"params": params, "batch_stats": batch_stats}, images,
+                train=False,
+            )
+        return dict(site_vals)
+
+    absmax: Dict[str, float] = {}
     for i, images in enumerate(batches):
         if i >= max_batches:
             break
-        with nn.intercept_methods(observer):
-            model.apply(
-                {"params": params, "batch_stats": batch_stats}, images, train=False
-            )
+        for key, v in jax.device_get(observe(images)).items():
+            absmax[key] = max(absmax.get(key, 0.0), float(v))
     return {k: (v / 127.0 if v > 0 else 1.0) for k, v in absmax.items()}
 
 
@@ -229,10 +239,15 @@ def calibrate_conv_inputs(
     model, params, batch_stats, batches, max_batches: int = 25,
     wide: bool = False,
 ) -> Dict[str, float]:
-    """Per-conv input absmax/127 scales for the int8-executable sites."""
+    """Per-conv input absmax/127 scales for the int8-executable sites.
+
+    The observer pass is JITTED: the interceptor records each eligible
+    site's traced ``max(|x|)`` during tracing and the wrapper returns them
+    all, so calibration is ONE compiled program per batch shape instead of
+    hundreds of eager op dispatches (minutes-slow on remote backends)."""
     import flax.linen as nn
 
-    absmax: Dict[str, float] = {}
+    site_vals: Dict[str, jax.Array] = {}
 
     def observer(next_fn, args, kwargs, context):
         if (
@@ -246,18 +261,25 @@ def calibrate_conv_inputs(
             )
             if x.ndim == 4 and ch_ok:
                 key = "/".join(context.module.path)
-                absmax[key] = max(
-                    absmax.get(key, 0.0), float(jnp.max(jnp.abs(x)))
-                )
+                site_vals[key] = jnp.max(jnp.abs(x.astype(jnp.float32)))
         return next_fn(*args, **kwargs)
 
+    @jax.jit
+    def observe(images):
+        site_vals.clear()
+        with nn.intercept_methods(observer):
+            model.apply(
+                {"params": params, "batch_stats": batch_stats}, images,
+                train=False,
+            )
+        return dict(site_vals)
+
+    absmax: Dict[str, float] = {}
     for i, images in enumerate(batches):
         if i >= max_batches:
             break
-        with nn.intercept_methods(observer):
-            model.apply(
-                {"params": params, "batch_stats": batch_stats}, images, train=False
-            )
+        for key, v in jax.device_get(observe(images)).items():
+            absmax[key] = max(absmax.get(key, 0.0), float(v))
     return {k: (v / 127.0 if v > 0 else 1.0) for k, v in absmax.items()}
 
 

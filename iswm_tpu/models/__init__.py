@@ -71,6 +71,10 @@ def build_model(cfg: ModelConfig) -> DeepLabV3Model:
     kw = dict(dtype=dtype, param_dtype=param_dtype)
     rates = aspp_dilations(cfg.output_stride)
 
+    from .layers import set_int8_training
+
+    set_int8_training(getattr(cfg, "int8_training", False))
+
     if cfg.backbone in _RESNETS:
         rswd = (False, True, True) if cfg.output_stride == 8 else (False, False, True)
         backbone = ResNet(

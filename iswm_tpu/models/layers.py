@@ -29,6 +29,25 @@ Dtype = Any
 kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 
+# Experimental int8-forward training (QAT), consulted by ConvBN at trace
+# time.  Process-wide because ConvBN is instantiated at ~26 sites across
+# the zoo; build_model sets it from ModelConfig.int8_training on every
+# build (last build wins — do not interleave int8 and bf16 model builds
+# that retrace later in one process).
+_INT8_TRAINING = [False]
+
+
+def set_int8_training(enabled: bool) -> bool:
+    """Set the process-wide int8-forward-conv flag; returns the old value."""
+    prev = _INT8_TRAINING[0]
+    _INT8_TRAINING[0] = bool(enabled)
+    return prev
+
+
+def int8_training_enabled() -> bool:
+    return _INT8_TRAINING[0]
+
+
 def torch_conv_padding(kernel_size: int, dilation: int = 1) -> Tuple[int, int]:
     """Symmetric per-side padding torch uses: (k//2)*d for odd k."""
     pad = (kernel_size // 2) * dilation
@@ -50,12 +69,34 @@ class ConvBN(nn.Module):
     param_dtype: Dtype = jnp.float32
     bn_momentum: float = 0.9
     bn_epsilon: float = 1e-5
+    # Experimental QAT: forward conv executes int8 on the MXU (2x rate),
+    # backward stays dense in compute dtype (ops/int8_train.int8_conv_st).
+    # Deliberate numerics change — see ModelConfig.int8_training; also
+    # enabled process-wide by set_int8_training (build_model wires it).
+    int8_fwd: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         pad = self.padding
         if pad is None:
             pad = [torch_conv_padding(self.kernel_size, self.dilation)] * 2
+        if (
+            (self.int8_fwd or int8_training_enabled())
+            and self.groups == 1
+            and x.shape[-1] >= 64
+            and self.dilation < 6  # the valid-tap branch handles >= 6
+        ):
+            from ..ops.int8_train import int8_conv_st
+
+            kernel = ConvVars(
+                self.features, self.kernel_size, self.param_dtype, name="conv"
+            )(x.shape[-1])
+            x = int8_conv_st(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                (self.strides, self.strides), tuple(tuple(p) for p in pad),
+                (self.dilation, self.dilation),
+            )
+            return self._bn_relu(x, train)
         if (
             self.kernel_size == 3
             and self.dilation >= 6

@@ -1,0 +1,95 @@
+"""Experimental int8-forward training convs (ops/int8_train.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def test_int8_conv_st_forward_close_and_grads_dense():
+    from iswm_tpu.ops.int8_train import int8_conv_st, _dense_conv
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 12, 12, 64)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 64, 128)) * 0.05, jnp.float32)
+    pad = ((1, 1), (1, 1))
+
+    out = int8_conv_st(x, w, (1, 1), pad, (1, 1))
+    dense = _dense_conv(x, w, (1, 1), pad, (1, 1))
+    rel = float(jnp.max(jnp.abs(out - dense)) / jnp.max(jnp.abs(dense)))
+    assert rel < 0.06, rel  # 8-bit forward noise bound
+
+    # straight-through: gradients are EXACTLY the dense conv's
+    def loss_q(x, w):
+        return jnp.sum(int8_conv_st(x, w, (1, 1), pad, (1, 1)) ** 2) / 2
+
+    def loss_d(x, w):
+        return jnp.sum(_dense_conv(x, w, (1, 1), pad, (1, 1)) ** 2) / 2
+
+    gx_q, gw_q = jax.grad(loss_q, argnums=(0, 1))(x, w)
+    # STE cotangent g = out_q (not dense out), so compare against the dense
+    # transpose applied to the SAME cotangent
+    gx_d = jax.linear_transpose(lambda xx: _dense_conv(xx, w, (1, 1), pad, (1, 1)), x)(out)[0]
+    gw_d = jax.linear_transpose(lambda ww: _dense_conv(x, ww, (1, 1), pad, (1, 1)), w)(out)[0]
+    np.testing.assert_allclose(np.asarray(gx_q), np.asarray(gx_d), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_q), np.asarray(gw_d), rtol=1e-5)
+
+
+def test_int8_conv_st_strided_dilated_shapes():
+    from iswm_tpu.ops.int8_train import int8_conv_st, _dense_conv
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 64)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 64, 64)) * 0.05, jnp.float32)
+    for strides, pad, dil in (
+        ((2, 2), ((1, 1), (1, 1)), (1, 1)),
+        ((1, 1), ((2, 2), (2, 2)), (2, 2)),
+    ):
+        out = int8_conv_st(x, w, strides, pad, dil)
+        dense = _dense_conv(x, w, strides, pad, dil)
+        assert out.shape == dense.shape
+        rel = float(jnp.max(jnp.abs(out - dense)) / jnp.max(jnp.abs(dense)))
+        assert rel < 0.08, (strides, pad, dil, rel)
+
+
+def test_int8_training_smoke():
+    """10 fused train steps with ModelConfig.int8_training: loss finite and
+    decreasing; the variable tree matches the bf16 model's exactly."""
+    from iswm_tpu.config import Config
+    from iswm_tpu.models import build_model
+    from iswm_tpu.models.layers import set_int8_training
+    from iswm_tpu.ops import make_loss_fn
+    from iswm_tpu.train.optim import make_optimizer
+    from iswm_tpu.train.step import create_train_state, make_train_step
+
+    cfg = Config()
+    cfg.model.backbone = "resnet18"
+    cfg.model.compute_dtype = "float32"
+    cfg.model.int8_training = True
+    try:
+        model = build_model(cfg.model)
+        tx, _ = make_optimizer(cfg.optim, total_itrs=10)
+        step = make_train_step(model, tx, make_loss_fn("ce_loss"), donate=False)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 48, 48, 3)), jnp.float32)
+        y = jnp.asarray((rng.random((2, 48, 48)) > 0.8), jnp.int32)
+        state = create_train_state(model, tx, jax.random.key(0), x[:1])
+
+        # tree parity with the bf16 model (same checkpoints load)
+        set_int8_training(False)
+        ref_model = build_model(
+            type(cfg.model)(backbone="resnet18", compute_dtype="float32")
+        )
+        ref_state = create_train_state(ref_model, tx, jax.random.key(0), x[:1])
+        assert jax.tree_util.tree_structure(state.params) == \
+            jax.tree_util.tree_structure(ref_state.params)
+        set_int8_training(True)
+
+        losses = []
+        for i in range(10):
+            state, metrics = step(state, x, y, jax.random.key(i))
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+    finally:
+        set_int8_training(False)
