@@ -108,8 +108,10 @@ def main() -> int:
     # honestly clocked by a final host fetch.
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--backbone", default="resnet50")
-    ap.add_argument("--int8_training", action="store_true",
-                    help="experimental: int8 forward convs (QAT) in the train step")
+    ap.add_argument("--int8_training", type=int, default=0,
+                    help="experimental QAT: min input channels to route forward "
+                         "convs through int8 (0=off; 64=all eligible; higher "
+                         "gates route only the MXU-bound convs)")
     ap.add_argument("--output_stride", type=int, default=16, choices=(8, 16))
     args = ap.parse_args()
 
@@ -176,7 +178,8 @@ def main() -> int:
     result = {
         "metric": (
             f"{args.size}x{args.size} train tiles/sec/chip "
-            f"(deeplabv3plus_{args.backbone} os{args.output_stride} bf16)"
+            f"(deeplabv3plus_{args.backbone} os{args.output_stride} "
+            f"{'int8fwd>=' + str(args.int8_training) if args.int8_training else 'bf16'})"
         ),
         "value": round(train_tps, 2),
         "unit": "tiles/sec/chip",

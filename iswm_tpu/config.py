@@ -52,12 +52,14 @@ class ModelConfig:
     # this "never" for saliency / adversarial workflows that
     # differentiate w.r.t. the image.
     fused_stem: str = "never"
-    # EXPERIMENTAL quantization-aware training: forward convs (>=64 input
-    # channels, dilation<6) execute int8 on the MXU at the 2x rate with
-    # straight-through bf16 gradients (ops/int8_train.py).  A deliberate
-    # training-numerics change — bf16-parity goldens do not apply; see
-    # BASELINE.md "int8 via XLA" for the measured effect.
-    int8_training: bool = False
+    # EXPERIMENTAL quantization-aware training: forward convs (dilation<6,
+    # input channels >= this gate; True = 64, 0/False = off) execute int8
+    # on the MXU at the 2x rate with straight-through bf16 gradients
+    # (ops/int8_train.py).  A deliberate training-numerics change —
+    # bf16-parity goldens do not apply; see BASELINE.md "int8 via XLA"
+    # for the measured effect (narrow HBM-bound layers LOSE from the
+    # extra quantize passes; gate higher to route only MXU-bound convs).
+    int8_training: int = 0
 
 
 @dataclass

@@ -73,7 +73,7 @@ def build_model(cfg: ModelConfig) -> DeepLabV3Model:
 
     from .layers import set_int8_training
 
-    set_int8_training(getattr(cfg, "int8_training", False))
+    set_int8_training(getattr(cfg, "int8_training", 0))
 
     if cfg.backbone in _RESNETS:
         rswd = (False, True, True) if cfg.output_stride == 8 else (False, False, True)

@@ -33,19 +33,32 @@ kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 # time.  Process-wide because ConvBN is instantiated at ~26 sites across
 # the zoo; build_model sets it from ModelConfig.int8_training on every
 # build (last build wins — do not interleave int8 and bf16 model builds
-# that retrace later in one process).
-_INT8_TRAINING = [False]
+# that retrace later in one process).  The value is the minimum input
+# channel count to route (0 = off): HBM-bound narrow layers lose from the
+# extra absmax+quantize passes, so a higher gate routes only the
+# MXU-bound convs (measured sweep in BASELINE.md).
+_INT8_TRAINING = [0]
 
 
-def set_int8_training(enabled: bool) -> bool:
-    """Set the process-wide int8-forward-conv flag; returns the old value."""
+def set_int8_training(min_channels) -> int:
+    """Set the process-wide int8-forward-conv gate; returns the old value.
+
+    ``min_channels``: 0/False = off, True = 64 (default gate), or an
+    explicit minimum input-channel count.
+    """
     prev = _INT8_TRAINING[0]
-    _INT8_TRAINING[0] = bool(enabled)
+    if min_channels is True:
+        min_channels = 64
+    _INT8_TRAINING[0] = int(min_channels or 0)
     return prev
 
 
-def int8_training_enabled() -> bool:
+def int8_training_min_channels() -> int:
     return _INT8_TRAINING[0]
+
+
+def int8_training_enabled() -> bool:
+    return _INT8_TRAINING[0] > 0
 
 
 def torch_conv_padding(kernel_size: int, dilation: int = 1) -> Tuple[int, int]:
@@ -80,10 +93,11 @@ class ConvBN(nn.Module):
         pad = self.padding
         if pad is None:
             pad = [torch_conv_padding(self.kernel_size, self.dilation)] * 2
+        min_ch = 64 if self.int8_fwd else int8_training_min_channels()
         if (
             (self.int8_fwd or int8_training_enabled())
             and self.groups == 1
-            and x.shape[-1] >= 64
+            and x.shape[-1] >= min_ch
             and self.dilation < 6  # the valid-tap branch handles >= 6
         ):
             from ..ops.int8_train import int8_conv_st
