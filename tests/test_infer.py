@@ -243,3 +243,39 @@ def test_predictor_int8_serving_variant(tmp_path):
 
     with _pytest.raises(ValueError, match="serving_variant"):
         Predictor(make_cfg("fp4"), ckpt_path=None)
+
+
+def test_tile_engine_mesh_with_int8_variant():
+    """int8_exec_xla serving composes with scene parallelism: the variant
+    fn (inner jit) inlines into the mesh-sharded tile program and matches
+    the single-device int8 engine."""
+    import jax
+    from jax.sharding import Mesh
+
+    from iswm_tpu.config import ModelConfig
+    from iswm_tpu.infer.quantization import (
+        calibrate_conv_inputs,
+        make_variant_fn,
+    )
+    from iswm_tpu.infer.tiling import TileEngine
+    from iswm_tpu.models import build_model
+
+    model = build_model(ModelConfig(backbone="resnet18", compute_dtype="float32"))
+    x0 = jnp.asarray(np.random.default_rng(5).normal(size=(1, 32, 32, 3)),
+                     jnp.float32)
+    v = model.init({"params": jax.random.key(2)}, x0, train=False)
+    scales = calibrate_conv_inputs(
+        model, v["params"], v["batch_stats"], [x0], wide=True
+    )
+    fn = make_variant_fn(model, v["batch_stats"], v["params"],
+                         "int8_exec_xla", conv_scales=scales)
+
+    scene = jnp.asarray(np.random.default_rng(6).normal(size=(72, 64, 3)),
+                        jnp.float32)
+    single = TileEngine(fn, tile=32, overlap=8, batch=2)
+    out1 = np.asarray(single.infer_scene(scene))
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    multi = TileEngine(fn, tile=32, overlap=8, batch=1, mesh=mesh)
+    out2 = np.asarray(multi.infer_scene(scene))
+    assert out1.shape == out2.shape == (72, 64, 2)
+    np.testing.assert_allclose(out1, out2, rtol=1e-4, atol=1e-4)
