@@ -166,6 +166,36 @@ def main() -> int:
     t_infer = time_loop(infer_once, args.steps)
     infer_tps = batch / t_infer
 
+    # --- executed-int8 inference (the serving speed play; BASELINE.md
+    # "int8 via XLA": XLA int8 convs at the 2x MXU rate) — best-effort,
+    # never fails the bench
+    int8_infer_tps = None
+    if not args.smoke and not args.int8_training:
+        try:
+            from iswm_tpu.infer.quantization import (
+                calibrate_conv_inputs,
+                make_variant_fn,
+            )
+            from iswm_tpu.models import build_model as _bm
+            from iswm_tpu.config import Config as _Cfg
+
+            _cfg = _Cfg()
+            _cfg.model.backbone = args.backbone
+            _cfg.model.output_stride = args.output_stride
+            _model = _bm(_cfg.model)
+            scales = calibrate_conv_inputs(
+                _model, state.params, state.batch_stats,
+                [images[:1].astype(jnp.float32)], wide=True,
+            )
+            q_fn = make_variant_fn(
+                _model, state.batch_stats, state.params, "int8_exec_xla",
+                conv_scales=scales,
+            )
+            t_q = time_loop(lambda: q_fn(images), args.steps)
+            int8_infer_tps = batch / t_q
+        except Exception as e:  # pragma: no cover - keep the bench robust
+            print(f"int8 inference row skipped: {e}", file=sys.stderr)
+
     # plausibility: 125.4 GFLOP fwd per 512x512 resnet50+v3+ tile at OS=16
     # (measured: 3009 GFLOP/step at batch 8 from the xplane trace flops
     # counters, logs/profile/attribution.txt), ~3x for fwd+bwd+update.
@@ -185,6 +215,11 @@ def main() -> int:
         "unit": "tiles/sec/chip",
         "vs_baseline": round(train_tps / A100_TRAIN_TILES_PER_SEC, 3),
         "infer_tiles_per_sec": round(infer_tps, 2),
+        **(
+            {"int8_infer_tiles_per_sec": round(int8_infer_tps, 2)}
+            if int8_infer_tps
+            else {}
+        ),
         "batch": batch,
         "device": str(dev),
         "step_ms": round(t_train * 1e3, 2),
