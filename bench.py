@@ -33,7 +33,7 @@ A100_TRAIN_TILES_PER_SEC = 95.0  # documented estimate, see module docstring
 
 
 def build(batch: int, size: int, backbone: str = "resnet50", output_stride: int = 16,
-          int8_training: bool = False):
+          int8_training: bool = False, int8_scale_mode: str = "dynamic"):
     from iswm_tpu.config import Config
     from iswm_tpu.models import build_model
     from iswm_tpu.ops import make_loss_fn
@@ -45,6 +45,7 @@ def build(batch: int, size: int, backbone: str = "resnet50", output_stride: int 
     cfg.model.output_stride = output_stride
     cfg.model.compute_dtype = "bfloat16"
     cfg.model.int8_training = int8_training  # experimental QAT fwd convs
+    cfg.model.int8_scale_mode = int8_scale_mode
     model = build_model(cfg.model)
     tx, _ = make_optimizer(cfg.optim, total_itrs=30000)
     loss_fn = make_loss_fn("ce_loss")
@@ -112,6 +113,11 @@ def main() -> int:
                     help="experimental QAT: min input channels to route forward "
                          "convs through int8 (0=off; 64=all eligible; higher "
                          "gates route only the MXU-bound convs)")
+    ap.add_argument("--int8_scale_mode", default="dynamic",
+                    choices=("dynamic", "delayed"),
+                    help="activation-scale mode for --int8_training convs "
+                         "(delayed = fp8-style stale scaling, one fusable "
+                         "quantize pass per conv input)")
     ap.add_argument("--output_stride", type=int, default=16, choices=(8, 16))
     args = ap.parse_args()
 
@@ -132,7 +138,8 @@ def main() -> int:
         try:
             state, train_step, eval_step, images, labels, rng = build(
                 b, args.size, args.backbone, args.output_stride,
-                int8_training=args.int8_training
+                int8_training=args.int8_training,
+                int8_scale_mode=args.int8_scale_mode,
             )
             # warm up / compile both paths
             state, m = train_step(state, images, labels, rng)

@@ -60,6 +60,14 @@ class ModelConfig:
     # for the measured effect (narrow HBM-bound layers LOSE from the
     # extra quantize passes; gate higher to route only MXU-bound convs).
     int8_training: int = 0
+    # Activation-scale mode for int8_training convs: "dynamic" = per-step
+    # absmax (two passes per conv input: the scale reduction serializes
+    # before the quantize); "delayed" = fp8-style stale scaling — quantize
+    # with the running amax carried in the model's "quant" collection
+    # (threaded by TrainState.quant), one fusable pass, with the current
+    # absmax only feeding the next step's scale.  Measured on v5e in
+    # BASELINE.md "int8 via XLA".
+    int8_scale_mode: str = "dynamic"
 
 
 @dataclass

@@ -61,6 +61,30 @@ def int8_training_enabled() -> bool:
     return _INT8_TRAINING[0] > 0
 
 
+# Activation-scale mode for the int8-forward convs (ModelConfig.
+# int8_scale_mode, wired by build_model like the gate above):
+#   "dynamic" — per-step absmax of the current tensor (two passes: the
+#               scale reduction must complete before the quantize divide).
+#   "delayed" — quantize with the running amax carried in the model's
+#               "quant" collection (fp8-style delayed scaling: one fusable
+#               pass; the current absmax only feeds the NEXT step's scale).
+#               Falls back to dynamic when the collection isn't provided
+#               (e.g. a bare eval apply with only params/batch_stats).
+_INT8_SCALE_MODE = ["dynamic"]
+
+
+def set_int8_scale_mode(mode: str) -> str:
+    if mode not in ("dynamic", "delayed"):
+        raise ValueError(f"int8_scale_mode {mode!r}")
+    prev = _INT8_SCALE_MODE[0]
+    _INT8_SCALE_MODE[0] = mode
+    return prev
+
+
+def int8_scale_mode() -> str:
+    return _INT8_SCALE_MODE[0]
+
+
 def torch_conv_padding(kernel_size: int, dilation: int = 1) -> Tuple[int, int]:
     """Symmetric per-side padding torch uses: (k//2)*d for odd k."""
     pad = (kernel_size // 2) * dilation
@@ -100,16 +124,35 @@ class ConvBN(nn.Module):
             and x.shape[-1] >= min_ch
             and self.dilation < 6  # the valid-tap branch handles >= 6
         ):
-            from ..ops.int8_train import int8_conv_st
+            from ..ops.int8_train import int8_conv_st, int8_conv_static_amax
 
             kernel = ConvVars(
                 self.features, self.kernel_size, self.param_dtype, name="conv"
             )(x.shape[-1])
-            x = int8_conv_st(
-                x.astype(self.dtype), kernel.astype(self.dtype),
-                (self.strides, self.strides), tuple(tuple(p) for p in pad),
+            geometry = (
+                (self.strides, self.strides),
+                tuple(tuple(p) for p in pad),
                 (self.dilation, self.dilation),
             )
+            delayed = int8_scale_mode() == "delayed" and (
+                self.is_initializing()
+                or self.has_variable("quant", "x_amax")
+                or self.is_mutable_collection("quant")
+            )
+            if delayed:
+                amax = self.variable(
+                    "quant", "x_amax", lambda: jnp.zeros((), jnp.float32)
+                )
+                x, new_amax = int8_conv_static_amax(
+                    x.astype(self.dtype), kernel.astype(self.dtype),
+                    amax.value, *geometry,
+                )
+                if self.is_mutable_collection("quant"):
+                    amax.value = new_amax
+            else:
+                x = int8_conv_st(
+                    x.astype(self.dtype), kernel.astype(self.dtype), *geometry
+                )
             return self._bn_relu(x, train)
         if (
             self.kernel_size == 3

@@ -182,6 +182,9 @@ def restore(
         params=restored["params"],
         batch_stats=restored["batch_stats"],
         opt_state=restored["opt_state"],
+        # delayed-int8 amaxes are not checkpointed: they re-warm in one
+        # step (running max with the current batch folded in immediately)
+        quant=template_state.quant,
     )
     return state, meta
 

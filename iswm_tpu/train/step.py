@@ -28,6 +28,11 @@ class TrainState:
     params: Any
     batch_stats: Any
     opt_state: Any
+    # "quant" collection: running activation amaxes for int8_training with
+    # int8_scale_mode="delayed" (ops/int8_train.int8_conv_static_amax).
+    # Empty dict for every other configuration — an empty pytree, invisible
+    # to checkpoints and shardings.
+    quant: Any = flax.struct.field(default_factory=dict)
 
 
 def create_train_state(
@@ -37,8 +42,13 @@ def create_train_state(
     sample_input: jax.Array,
 ) -> TrainState:
     # jit the init: eager op-by-op init is pathologically slow on remote
-    # backends (hundreds of dispatches), and jit compiles it into one program
-    variables = jax.jit(partial(model.init, train=False))(
+    # backends (hundreds of dispatches), and jit compiles it into one program.
+    # A fresh closure (NOT functools.partial(model.init)) on purpose: jit
+    # unwraps partials and caches on the bound method, and flax modules
+    # compare equal by field values — two same-config models built under
+    # different process-wide int8 settings (models/layers.set_int8_training)
+    # would silently share one stale trace.
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
         {"params": rng}, sample_input
     )
     params = variables["params"]
@@ -48,6 +58,7 @@ def create_train_state(
         params=params,
         batch_stats=batch_stats,
         opt_state=tx.init(params),
+        quant=variables.get("quant", {}),
     )
 
 
@@ -82,12 +93,21 @@ def make_train_step(
                 lambda k, i, l: augment_sample(k, i, l, augment)
             )(keys, images, labels)
 
+        # delayed int8 scaling state rides in a "quant" collection; the
+        # trace-time emptiness check keeps every other config's program
+        # byte-identical to before
+        has_quant = bool(jax.tree_util.tree_leaves(state.quant))
+        variables = {"batch_stats": state.batch_stats}
+        mutable = ["batch_stats"] + (["quant"] if has_quant else [])
+        if has_quant:
+            variables["quant"] = state.quant
+
         def forward(params, images):
             return model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {**variables, "params": params},
                 images,
                 train=True,
-                mutable=["batch_stats"],
+                mutable=mutable,
                 rngs={"dropout": dropout_rng},
             )
 
@@ -100,9 +120,9 @@ def make_train_step(
         def compute_loss(params):
             logits, mutated = forward(params, images)
             loss = loss_fn(logits, labels.astype(jnp.int32))
-            return loss, mutated["batch_stats"]
+            return loss, mutated
 
-        (loss, new_batch_stats), grads = jax.value_and_grad(
+        (loss, mutated), grads = jax.value_and_grad(
             compute_loss, has_aux=True
         )(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
@@ -110,8 +130,9 @@ def make_train_step(
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
-            batch_stats=new_batch_stats,
+            batch_stats=mutated["batch_stats"],
             opt_state=new_opt_state,
+            quant=mutated.get("quant", state.quant),
         )
         metrics = {"loss": loss}
         return new_state, metrics

@@ -210,6 +210,7 @@ class Trainer:
                 params=restored.params,
                 batch_stats=restored.batch_stats,
                 opt_state=self.state.opt_state,
+                quant=restored.quant,
             )
             print(f"Loaded model weights from {path}")
 

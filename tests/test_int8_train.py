@@ -93,3 +93,90 @@ def test_int8_training_smoke():
         assert losses[-1] < losses[0]
     finally:
         set_int8_training(False)
+
+
+def test_int8_conv_static_amax_matches_dynamic_when_warm():
+    """With the running amax equal to the tensor's true absmax, the delayed
+    path reproduces the dynamic path exactly; grads are straight-through
+    (dense transpose) with no gradient to the amax."""
+    from iswm_tpu.ops.int8_train import (
+        _dense_conv,
+        int8_conv_st,
+        int8_conv_static_amax,
+    )
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 12, 12, 64)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 64, 128)) * 0.05, jnp.float32)
+    pad = ((1, 1), (1, 1))
+    amax = jnp.max(jnp.abs(x))
+
+    out, new_amax = int8_conv_static_amax(x, w, amax, (1, 1), pad, (1, 1))
+    out_dyn = int8_conv_st(x, w, (1, 1), pad, (1, 1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_dyn), rtol=1e-6)
+    # running-max update: max(cur, decay*old) == cur here
+    np.testing.assert_allclose(float(new_amax), float(amax), rtol=1e-6)
+
+    # a STALE (smaller) amax clips but still yields a usable forward
+    out_stale, new2 = int8_conv_static_amax(x, w, amax * 0.5, (1, 1), pad, (1, 1))
+    assert np.isfinite(np.asarray(out_stale)).all()
+    np.testing.assert_allclose(float(new2), float(amax), rtol=1e-6)  # re-adapts
+
+    def loss_q(x, w, a):
+        out, _ = int8_conv_static_amax(x, w, a, (1, 1), pad, (1, 1))
+        return jnp.sum(out ** 2) / 2
+
+    gx, gw, ga = jax.grad(loss_q, argnums=(0, 1, 2))(x, w, amax)
+    gx_d = jax.linear_transpose(
+        lambda xx: _dense_conv(xx, w, (1, 1), pad, (1, 1)), x
+    )(out)[0]
+    gw_d = jax.linear_transpose(
+        lambda ww: _dense_conv(x, ww, (1, 1), pad, (1, 1)), w
+    )(out)[0]
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_d), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_d), rtol=1e-5)
+    assert float(ga) == 0.0
+
+
+def test_int8_training_delayed_smoke():
+    """Delayed scaling: the model carries a 'quant' collection of running
+    amaxes threaded through TrainState.quant; amaxes turn positive after
+    one step, loss decreases, and the params tree still matches bf16."""
+    from iswm_tpu.config import Config
+    from iswm_tpu.models import build_model
+    from iswm_tpu.models.layers import set_int8_scale_mode, set_int8_training
+    from iswm_tpu.ops import make_loss_fn
+    from iswm_tpu.train.optim import make_optimizer
+    from iswm_tpu.train.step import create_train_state, make_train_step
+
+    cfg = Config()
+    cfg.model.backbone = "resnet18"
+    cfg.model.compute_dtype = "float32"
+    cfg.model.int8_training = True
+    cfg.model.int8_scale_mode = "delayed"
+    try:
+        model = build_model(cfg.model)
+        tx, _ = make_optimizer(cfg.optim, total_itrs=10)
+        step = make_train_step(model, tx, make_loss_fn("ce_loss"), donate=False)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 48, 48, 3)), jnp.float32)
+        y = jnp.asarray((rng.random((2, 48, 48)) > 0.8), jnp.int32)
+        state = create_train_state(model, tx, jax.random.key(0), x[:1])
+
+        amaxes = jax.tree_util.tree_leaves(state.quant)
+        assert amaxes, "delayed mode must create the quant collection"
+        # init already warms the amaxes from the sample input (the quant
+        # collection is mutable during model.init)
+        assert all(float(a) >= 0.0 for a in amaxes)
+
+        losses = []
+        for i in range(10):
+            state, metrics = step(state, x, y, jax.random.key(i))
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+        warm = jax.tree_util.tree_leaves(state.quant)
+        assert all(float(a) > 0.0 for a in warm), "amaxes warmed after steps"
+    finally:
+        set_int8_training(False)
+        set_int8_scale_mode("dynamic")
