@@ -28,6 +28,11 @@ def main() -> int:
                     help="steady-state timing repetitions (median reported)")
     ap.add_argument("--no_products", action="store_true",
                     help="skip writing PNGs (pure throughput run)")
+    ap.add_argument("--serving_variant", default=None,
+                    choices=("bf16", "int8", "int8_exec", "int8_exec_xla"),
+                    help="serving precision (int8_exec_xla = executed int8 "
+                         "convs at the 2x MXU rate; calibrates on the first "
+                         "scene)")
     ap.add_argument("--ckpt", default=None)
     args = ap.parse_args()
 
@@ -64,6 +69,8 @@ def main() -> int:
     cfg.predict.tile_overlap = args.tile // 8
     cfg.predict.tile_batch = args.tile_batch
     cfg.predict.save_confidence = True
+    if args.serving_variant:
+        cfg.predict.serving_variant = args.serving_variant
 
     predictor = Predictor(cfg, ckpt_path=args.ckpt)
     t0 = time.time()

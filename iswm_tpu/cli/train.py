@@ -51,6 +51,16 @@ def get_argparser() -> argparse.ArgumentParser:
                         "cache search order)")
     p.add_argument("--compute_dtype", type=str, default=None,
                    choices=["bfloat16", "float32"])
+    p.add_argument("--int8_training", type=int, default=None,
+                   help="QAT: min input channels to route forward convs "
+                        "through executed int8 (0 = off; 64 = all eligible). "
+                        "Sub-1%% step cost with --int8_scale_mode delayed; "
+                        "see BASELINE.md 'int8-forward TRAINING'")
+    p.add_argument("--int8_scale_mode", type=str, default=None,
+                   choices=["dynamic", "delayed"],
+                   help="activation-scale mode for --int8_training convs "
+                        "(delayed = fp8-style stale scaling, one fusable "
+                        "quantize pass)")
 
     # optimization
     p.add_argument("--total_itrs", type=int, default=None)
@@ -109,6 +119,8 @@ def build_config(args: argparse.Namespace) -> Config:
         ("num_classes", ("model", "num_classes")),
         ("output_stride", ("model", "output_stride")),
         ("compute_dtype", ("model", "compute_dtype")),
+        ("int8_training", ("model", "int8_training")),
+        ("int8_scale_mode", ("model", "int8_scale_mode")),
         ("total_itrs", ("train", "total_itrs")),
         ("lr", ("optim", "lr")),
         ("optimizer", ("optim", "optimizer")),

@@ -30,28 +30,58 @@ LOGDIR = os.path.join(os.path.dirname(__file__), "..", "logs", "profile")
 
 def main() -> int:
     profile_eval = "--eval" in sys.argv
+    profile_int8 = "--int8" in sys.argv  # int8_exec_xla serving variant
     batch, size = 8, 512
     state, train_step, eval_step, images, labels, rng = build(batch, size)
-    # warm up / compile
-    if profile_eval:
-        ev = eval_step(state.params, state.batch_stats, images)
-        float(np.asarray(ev["preds"]).ravel()[0])
-    else:
-        state, m = train_step(state, images, labels, rng)
-        float(m["loss"])
 
-    os.makedirs(LOGDIR, exist_ok=True)
-    jax.profiler.start_trace(LOGDIR)
-    if profile_eval:
-        ev = None
+    if profile_int8:
+        from iswm_tpu.config import Config
+        from iswm_tpu.infer.quantization import (
+            calibrate_conv_inputs,
+            make_variant_fn,
+        )
+        from iswm_tpu.models import build_model
+
+        cfg = Config()
+        cfg.model.backbone = "resnet50"
+        model = build_model(cfg.model)
+        scales = calibrate_conv_inputs(
+            model, state.params, state.batch_stats,
+            [images[:1].astype(jnp.float32)], wide=True,
+        )
+        q_fn = make_variant_fn(
+            model, state.batch_stats, state.params, "int8_exec_xla",
+            conv_scales=scales,
+        )
+        float(np.asarray(q_fn(images)).ravel()[0])  # warm/compile
+        os.makedirs(LOGDIR, exist_ok=True)
+        jax.profiler.start_trace(LOGDIR)
+        out = None
         for _ in range(5):
-            ev = eval_step(state.params, state.batch_stats, images)
-        float(np.asarray(ev["preds"]).ravel()[0])  # honest clock: host fetch
+            out = q_fn(images)
+        float(np.asarray(out).ravel()[0])  # honest clock: host fetch
+        jax.profiler.stop_trace()
     else:
-        for _ in range(5):
+        # warm up / compile
+        if profile_eval:
+            ev = eval_step(state.params, state.batch_stats, images)
+            float(np.asarray(ev["preds"]).ravel()[0])
+        else:
             state, m = train_step(state, images, labels, rng)
-        float(m["loss"])  # honest clock: host fetch
-    jax.profiler.stop_trace()
+            float(m["loss"])
+
+        os.makedirs(LOGDIR, exist_ok=True)
+        jax.profiler.start_trace(LOGDIR)
+        if profile_eval:
+            ev = None
+            for _ in range(5):
+                ev = eval_step(state.params, state.batch_stats, images)
+            float(np.asarray(ev["preds"]).ravel()[0])  # honest clock: host fetch
+        else:
+            for _ in range(5):
+                state, m = train_step(state, images, labels, rng)
+            float(m["loss"])  # honest clock: host fetch
+        jax.profiler.stop_trace()
 
     xplanes = sorted(glob.glob(os.path.join(LOGDIR, "**", "*.xplane.pb"),
                                recursive=True), key=os.path.getmtime)
