@@ -47,6 +47,9 @@ class Predictor:
         tx, _ = make_optimizer(cfg.optim, total_itrs=1)
         sample = jnp.zeros((1, 64, 64, cfg.model.in_channels), cfg.model.compute_dtype)
         state = create_train_state(self.model, tx, jax.random.key(0), sample)
+        # QAT checkpoints carry learned activation amaxes in a "quant"
+        # collection (see conv_scales_from_quant) — reused for int8 serving
+        self.quant: Dict = {}
         if ckpt_path and ckpt_path.endswith((".pth", ".pt")):
             # reference torch checkpoint: import directly (predict parity
             # with reference predict.py:69-91 incl. module.-prefix strip)
@@ -66,6 +69,7 @@ class Predictor:
                 state, _ = ckpt_lib.restore(ckpt_path, state)
             self.params = state.params
             self.batch_stats = state.batch_stats
+            self.quant = getattr(state, "quant", {}) or {}
 
         def model_fn(images):  # [N,T,T,C] normalized -> [N,T,T,K]
             return self.model.apply(
@@ -119,6 +123,12 @@ class Predictor:
         conv_scales = calibrate_conv_inputs(
             self.model, self.params, self.batch_stats, tiles, wide=True
         )
+        if self.quant:
+            # QAT-learned running amaxes override the few-tile calibration
+            # where present (learned over the whole training distribution)
+            from .quantization import conv_scales_from_quant
+
+            conv_scales.update(conv_scales_from_quant(self.quant))
         fn = make_variant_fn(
             self.model, self.batch_stats, self.params,
             self.cfg.predict.serving_variant, conv_scales=conv_scales,

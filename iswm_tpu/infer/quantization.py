@@ -212,15 +212,18 @@ def _int8_exec_eligible(module, wide: bool = False) -> bool:
     (BASELINE.md "int8 via XLA"); zero padding is exact under symmetric
     quantization.  Wide mode also covers the ShiftedDilatedConv valid-tap
     atrous branches (the ASPP hot spots) via int8 tap matmuls
-    (ops/int8_xla.int8_shifted_dilated_conv).  The interceptor still gates
-    on input channels (>=64) to keep the stem in bf16.
+    (ops/int8_xla.int8_shifted_dilated_conv) and ConcatConvBN (the
+    decoder's 304-ch cls0, the single largest op of the int8 serving
+    profile at 19.5% — logs/profile/attribution_int8.txt) via per-part
+    int8 convs with per-part input scales.  The interceptor still gates
+    plain convs on input channels (>=64) to keep the stem in bf16.
     """
     import flax.linen as nn
 
     if wide:
-        from ..models.layers import ShiftedDilatedConv
+        from ..models.layers import ConcatConvBN, ShiftedDilatedConv
 
-        if isinstance(module, ShiftedDilatedConv):
+        if isinstance(module, (ConcatConvBN, ShiftedDilatedConv)):
             return True
     if not (isinstance(module, nn.Conv) and module.feature_group_count == 1):
         return False
@@ -248,6 +251,7 @@ def calibrate_conv_inputs(
     import flax.linen as nn
 
     site_vals: Dict[str, jax.Array] = {}
+    from ..models.layers import ConcatConvBN
 
     def observer(next_fn, args, kwargs, context):
         if (
@@ -255,12 +259,19 @@ def calibrate_conv_inputs(
             and context.method_name == "__call__"
             and args
         ):
+            key = "/".join(context.module.path)
+            if isinstance(context.module, ConcatConvBN):
+                # per-part input scales (the parts have distinct ranges)
+                for i, p in enumerate(args[0]):
+                    site_vals[f"{key}#p{i}"] = jnp.max(
+                        jnp.abs(p.astype(jnp.float32))
+                    )
+                return next_fn(*args, **kwargs)
             x = args[0]
             ch_ok = (
                 x.shape[-1] >= 64 if wide else x.shape[-1] % 128 == 0
             )
             if x.ndim == 4 and ch_ok:
-                key = "/".join(context.module.path)
                 site_vals[key] = jnp.max(jnp.abs(x.astype(jnp.float32)))
         return next_fn(*args, **kwargs)
 
@@ -283,6 +294,35 @@ def calibrate_conv_inputs(
     return {k: (v / 127.0 if v > 0 else 1.0) for k, v in absmax.items()}
 
 
+def conv_scales_from_quant(quant: Any) -> Dict[str, float]:
+    """Serving ``conv_scales`` from a QAT checkpoint's "quant" collection.
+
+    int8-forward training with delayed scaling (ModelConfig.int8_training +
+    int8_scale_mode="delayed") learns a running activation absmax per
+    routed conv, stored as ``x_amax`` at the ConvBN's path in the model's
+    "quant" collection (models/layers.ConvBN) and checkpointed with the
+    TrainState.  Those amaxes are exactly what ``calibrate_conv_inputs``
+    reconstructs from calibration batches — but learned over the whole
+    training distribution instead of a few serving tiles.  This converts
+    them to the ``{conv-site-path: absmax/127}`` dict the int8_exec
+    interceptors key on (the inner conv module lives at ``<ConvBN>/conv``).
+
+    Only the convs the QAT gate routed carry an amax (e.g. the stem and any
+    below-gate narrow layers do not), so the result is typically a PARTIAL
+    site map: merge it over calibrated scales (QAT values winning) rather
+    than using it alone, unless the gate covered every eligible site.
+    """
+    out: Dict[str, float] = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(quant)[0]:
+        keys = tuple(getattr(p, "key", str(p)) for p in path)
+        if keys and keys[-1] == "x_amax":
+            amax = float(np.asarray(leaf))
+            out["/".join(keys[:-1]) + "/conv"] = (
+                amax / 127.0 if amax > 0 else 1.0
+            )
+    return out
+
+
 def make_int8_exec_fn(
     model, batch_stats, params, conv_scales: Dict[str, float],
     backend: str = "pallas",
@@ -303,6 +343,8 @@ def make_int8_exec_fn(
     >=128 input channels (3x3s, strided, dilated); calibrate with the same
     ``wide`` flag."""
     import flax.linen as nn
+
+    from ..models.layers import ConcatConvBN
 
     if wide is None:
         wide = backend == "xla"
@@ -343,6 +385,45 @@ def make_int8_exec_fn(
             node = node[p]
         return node
 
+    def run_concat_conv_bn(parts, module, path, key):
+        """ConcatConvBN replacement: per-part int8 convs (per-part input
+        scale, shared per-O weight scale from the canonical concatenated
+        kernel) summed in f32, then inference BatchNorm(+ReLU) from the
+        running stats — the whole module, since BN lives inside it."""
+        from ..models.layers import torch_conv_padding
+
+        node_q = _lookup(q, path)
+        w_q = node_q["conv"]["kernel"]
+        if w_q.dtype != jnp.int8:
+            return None
+        w_scale = _lookup(s, path)["conv"]["kernel"]
+        pad = torch_conv_padding(module.kernel_size)
+        acc = None
+        off = 0
+        for i, p in enumerate(parts):
+            c = p.shape[-1]
+            x_scale = conv_scales.get(f"{key}#p{i}")
+            if x_scale is None:
+                return None  # missing calibration for a part: fall back
+            kp = jax.lax.slice_in_dim(w_q, off, off + c, axis=2)
+            t = quantized_conv_xla(
+                p, kp, w_scale, x_scale,
+                strides=(1, 1), padding=[pad, pad], dilation=(1, 1),
+            )
+            acc = t if acc is None else acc + t
+            off += c
+        bn_p = _lookup(deq_template, path)["bn"]
+        bn_s = _lookup(batch_stats, path)["bn"]
+        inv = jax.lax.rsqrt(
+            bn_s["var"].astype(jnp.float32) + module.bn_epsilon
+        )
+        y = (acc - bn_s["mean"].astype(jnp.float32)) * inv * bn_p[
+            "scale"
+        ].astype(jnp.float32) + bn_p["bias"].astype(jnp.float32)
+        if module.use_relu:
+            y = jax.nn.relu(y)
+        return y.astype(parts[0].dtype)
+
     def interceptor(next_fn, args, kwargs, context):
         if not (
             _int8_exec_eligible(context.module, wide)
@@ -350,8 +431,21 @@ def make_int8_exec_fn(
             and args
         ):
             return next_fn(*args, **kwargs)
-        x = args[0]
         key = "/".join(context.module.path)
+        if isinstance(context.module, ConcatConvBN):
+            train = args[1] if len(args) > 1 else kwargs.get("train", False)
+            out = (
+                None
+                if train or backend != "xla"
+                else run_concat_conv_bn(
+                    args[0], context.module, context.module.path, key
+                )
+            )
+            if out is None:
+                return next_fn(*args, **kwargs)
+            routed.append(key)
+            return out
+        x = args[0]
         ch_ok = x.shape[-1] >= 64 if wide else x.shape[-1] % 128 == 0
         if x.ndim != 4 or not ch_ok or key not in conv_scales:
             return next_fn(*args, **kwargs)

@@ -180,3 +180,60 @@ def test_int8_training_delayed_smoke():
     finally:
         set_int8_training(False)
         set_int8_scale_mode("dynamic")
+
+
+def test_conv_scales_from_quant_serves_int8_exec():
+    """QAT->serving loop: the 'quant' collection's learned amaxes convert to
+    the conv-site scale dict the int8_exec interceptors key on; the derived
+    keys are a subset of what wide calibration finds on the SAME (plain)
+    model build, and the executed-int8 fn runs with the merged scales."""
+    from iswm_tpu.config import Config
+    from iswm_tpu.models import build_model
+    from iswm_tpu.models.layers import set_int8_scale_mode, set_int8_training
+    from iswm_tpu.infer.quantization import (
+        calibrate_conv_inputs,
+        conv_scales_from_quant,
+        make_int8_exec_fn,
+    )
+    from iswm_tpu.train.optim import make_optimizer
+    from iswm_tpu.train.step import create_train_state
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 48, 48, 3)), jnp.float32)
+
+    cfg = Config()
+    cfg.model.backbone = "resnet18"
+    cfg.model.compute_dtype = "float32"
+    cfg.model.int8_training = True
+    cfg.model.int8_scale_mode = "delayed"
+    try:
+        qat_model = build_model(cfg.model)
+        tx, _ = make_optimizer(cfg.optim, total_itrs=1)
+        state = create_train_state(qat_model, tx, jax.random.key(0), x)
+        qat_scales = conv_scales_from_quant(state.quant)
+        assert qat_scales, "QAT build must yield per-conv scales"
+        assert all(k.endswith("/conv") for k in qat_scales)
+        assert all(s > 0 for s in qat_scales.values())
+    finally:
+        set_int8_training(False)
+        set_int8_scale_mode("dynamic")
+
+    # plain build (serving-side model): same variable tree, no quant coll.
+    plain_model = build_model(
+        type(cfg.model)(backbone="resnet18", compute_dtype="float32")
+    )
+    calibrated = calibrate_conv_inputs(
+        plain_model, state.params, state.batch_stats, [x], wide=True
+    )
+    # Every QAT-routed conv is an eligible serving site under wide mode
+    missing = set(qat_scales) - set(calibrated)
+    assert not missing, f"QAT sites unknown to serving: {sorted(missing)[:5]}"
+
+    merged = dict(calibrated)
+    merged.update(qat_scales)
+    fn = make_int8_exec_fn(
+        plain_model, state.batch_stats, state.params, merged, backend="xla"
+    )
+    logits = np.asarray(fn(x))
+    assert np.isfinite(logits).all()
+    assert fn.routed_sites, "int8 path must actually route convs"
