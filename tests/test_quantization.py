@@ -330,3 +330,36 @@ def test_int8_exec_xla_routes_concat_conv_bn(small_model):
                             backend="xla")
     fn2(x)
     assert "head/cls0" not in set(fn2.routed_sites)
+
+
+def test_int8_exec_xla_engine_serialize_roundtrip(small_model):
+    """The executed-int8 serving variant is a deployable engine artifact:
+    it AOT-serializes to StableHLO (infer/engine.serialize — the .trt-file
+    analogue of the reference's build_engine.py:27-114) with the quantized
+    weights baked in as constants, and the deserialized program reproduces
+    the live variant's logits exactly."""
+    from iswm_tpu.infer.engine import deserialize, serialize
+    from iswm_tpu.infer.quantization import (
+        calibrate_conv_inputs,
+        make_int8_exec_fn,
+    )
+
+    model, params, batch_stats = small_model
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
+
+    conv_scales = calibrate_conv_inputs(model, params, batch_stats, [x],
+                                        wide=True)
+    fn = make_int8_exec_fn(model, batch_stats, params, conv_scales,
+                           backend="xla")
+    live = np.asarray(fn(x))
+    assert fn.routed_sites  # int8 convs are actually in the program
+
+    blob = serialize(fn, (1, 32, 32, 3), jnp.float32)
+    assert isinstance(blob, bytes) and len(blob) > 1000
+    # int8 kernels ride along as int8 constants, not dequantized copies:
+    # the blob stays well under the f32 parameter footprint (~45 MB).
+    assert len(blob) < 40e6, f"blob {len(blob)/1e6:.1f} MB"
+
+    out = np.asarray(deserialize(blob)(x))
+    np.testing.assert_array_equal(out, live)
