@@ -47,6 +47,42 @@ def _check_disk_space(directory: str) -> None:
         pass
 
 
+def _save_state_tree(tmp_path: str, state: TrainState) -> None:
+    """Write the state tree (and, when present, the "quant" sidecar) under
+    ``tmp_path``.
+
+    The quant sidecar holds the delayed-int8 running activation amaxes
+    (models/layers.ConvBN, ModelConfig.int8_scale_mode="delayed") — a few
+    scalars per routed conv.  It is stored as its own pytree so restore
+    stays backward/forward-compatible: plain checkpoints have no ``quant/``
+    dir, and a serving-side template built from a plain (non-QAT) model can
+    still pick the amaxes up (infer/predictor.py reuses them as int8
+    serving calibration, conv_scales_from_quant)."""
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(
+        os.path.abspath(os.path.join(tmp_path, "state")),
+        {
+            "step": state.step,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+        },
+    )
+    if jax.tree_util.tree_leaves(state.quant):
+        ocp.PyTreeCheckpointer().save(
+            os.path.abspath(os.path.join(tmp_path, "quant")), state.quant
+        )
+
+
+def _restore_quant_sidecar(path: str, default):
+    """Raw-restore ``path/quant`` if this checkpoint carries one (small
+    scalar tree — no template needed), else ``default``."""
+    qpath = os.path.join(path, "quant")
+    if not os.path.isdir(qpath):
+        return default
+    return ocp.PyTreeCheckpointer().restore(os.path.abspath(qpath))
+
+
 def best_checkpoint_name(
     model_name: str, dataset: str, output_stride: int, weighted: float
 ) -> str:
@@ -79,16 +115,7 @@ def save_best(
     shutil.rmtree(tmp_path, ignore_errors=True)
 
     state = jax.device_get(state)
-    ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(
-        os.path.abspath(os.path.join(tmp_path, "state")),
-        {
-            "step": state.step,
-            "params": state.params,
-            "batch_stats": state.batch_stats,
-            "opt_state": state.opt_state,
-        },
-    )
+    _save_state_tree(tmp_path, state)
     meta = {
         "cur_itrs": int(state.step),
         "weighted_score": float(weighted),
@@ -126,16 +153,7 @@ def save_latest(checkpoints_dir: str, state: TrainState, **meta_extra) -> str:
     shutil.rmtree(tmp_path, ignore_errors=True)
 
     state = jax.device_get(state)
-    ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(
-        os.path.abspath(os.path.join(tmp_path, "state")),
-        {
-            "step": state.step,
-            "params": state.params,
-            "batch_stats": state.batch_stats,
-            "opt_state": state.opt_state,
-        },
-    )
+    _save_state_tree(tmp_path, state)
     meta = {
         "cur_itrs": int(state.step),
         "save_time": time.strftime("%Y-%m-%d %H:%M:%S"),
@@ -182,9 +200,12 @@ def restore(
         params=restored["params"],
         batch_stats=restored["batch_stats"],
         opt_state=restored["opt_state"],
-        # delayed-int8 amaxes are not checkpointed: they re-warm in one
-        # step (running max with the current batch folded in immediately)
-        quant=template_state.quant,
+        # delayed-int8 amaxes ride a small "quant" sidecar tree when the
+        # saved run used QAT; a plain template still receives them (the
+        # serving path reuses them as int8 calibration).  Resume without
+        # the sidecar re-warms in one step (running max folds the current
+        # batch in immediately).
+        quant=_restore_quant_sidecar(path, template_state.quant),
     )
     return state, meta
 

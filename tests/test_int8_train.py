@@ -237,3 +237,60 @@ def test_conv_scales_from_quant_serves_int8_exec():
     logits = np.asarray(fn(x))
     assert np.isfinite(logits).all()
     assert fn.routed_sites, "int8 path must actually route convs"
+
+
+def test_quant_sidecar_checkpoint_roundtrip(tmp_path):
+    """QAT amaxes survive checkpointing: save_latest writes the "quant"
+    sidecar, restore returns it into a QAT template, AND a plain (non-QAT)
+    template still receives it — the predictor's QAT->int8-serving reuse
+    depends on that (infer/predictor.py)."""
+    from iswm_tpu.config import Config
+    from iswm_tpu.models import build_model
+    from iswm_tpu.models.layers import set_int8_scale_mode, set_int8_training
+    from iswm_tpu.train import checkpoint as ckpt_lib
+    from iswm_tpu.train.optim import make_optimizer
+    from iswm_tpu.train.step import create_train_state
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(1, 48, 48, 3)), jnp.float32)
+
+    cfg = Config()
+    cfg.model.backbone = "resnet18"
+    cfg.model.compute_dtype = "float32"
+    cfg.model.int8_training = True
+    cfg.model.int8_scale_mode = "delayed"
+    try:
+        model = build_model(cfg.model)
+        tx, _ = make_optimizer(cfg.optim, total_itrs=1)
+        state = create_train_state(model, tx, jax.random.key(0), x)
+        assert jax.tree_util.tree_leaves(state.quant)
+        # make the amaxes distinguishable from a fresh init
+        marked = jax.tree.map(lambda a: a + 3.25, state.quant)
+        state = state.replace(quant=marked)
+        path = ckpt_lib.save_latest(str(tmp_path), state)
+
+        # QAT template: amaxes come back exactly
+        fresh = create_train_state(model, tx, jax.random.key(1), x)
+        restored, _ = ckpt_lib.restore(path, fresh)
+        got = jax.tree.leaves(restored.quant)
+        want = jax.tree.leaves(marked)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w))
+    finally:
+        set_int8_training(False)
+        set_int8_scale_mode("dynamic")
+
+    # plain template (serving side): sidecar still restores
+    plain_cfg = type(cfg.model)(backbone="resnet18", compute_dtype="float32")
+    plain_model = build_model(plain_cfg)
+    tx, _ = make_optimizer(cfg.optim, total_itrs=1)
+    plain_state = create_train_state(plain_model, tx, jax.random.key(2), x)
+    assert not jax.tree_util.tree_leaves(plain_state.quant)
+    restored2, _ = ckpt_lib.restore(path, plain_state)
+    assert jax.tree_util.tree_leaves(restored2.quant)
+
+    # and a non-QAT checkpoint restores with no sidecar (back-compat)
+    path2 = ckpt_lib.save_latest(str(tmp_path / "plain"), plain_state)
+    restored3, _ = ckpt_lib.restore(path2, plain_state)
+    assert not jax.tree_util.tree_leaves(restored3.quant)
