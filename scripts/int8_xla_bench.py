@@ -138,6 +138,131 @@ def _chain_conv(dtype, b, h, w_, cin, cout, ksize, iters):
     return jax.jit(fn), 2.0 * b * h * w_ * cin * cout * ksize * ksize
 
 
+def _chain_wgrad(dtype, b, h, w_, cin, cout, ksize, iters):
+    """Weight-gradient conv: dw[kh,kw,I,O] = sum_{b,h,w} x·g.
+
+    Expressed the way XLA's own conv-wgrad is: a conv whose batch dim is
+    Cin (lhs_spec "CHWN"), contraction feature dim is B (rhs_spec "IHWO"),
+    and output spatial extent is the kernel (window = g's spatial size).
+    This is the bwd op whose int8 lowering rate is NOT implied by the fwd
+    conv measurements (the window is the whole feature map, not 3×3).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    pad = (ksize - 1) // 2
+    # varying-operand trick without an [iters, ...] stack (too big for the
+    # g tensor): slice g from a channel-padded buffer at a per-iter offset
+    if dtype == "int8":
+        x = jnp.asarray(rng.integers(-127, 128, (b, h, w_, cin)), jnp.int8)
+        gbuf = jnp.asarray(
+            rng.integers(-127, 128, (b, h, w_, cout + iters)), jnp.int8
+        )
+        acc0 = jnp.zeros((cin, ksize, ksize, cout), jnp.int32)
+        pet = jnp.int32
+    else:
+        x = jnp.asarray(
+            rng.standard_normal((b, h, w_, cin), dtype=np.float32), jnp.bfloat16
+        )
+        gbuf = jnp.asarray(
+            rng.standard_normal((b, h, w_, cout + iters), dtype=np.float32)
+            * 0.01,
+            jnp.bfloat16,
+        )
+        acc0 = jnp.zeros((cin, ksize, ksize, cout), jnp.float32)
+        pet = jnp.float32
+
+    def body(acc, off):
+        g = jax.lax.dynamic_slice(gbuf, (0, 0, 0, off), (b, h, w_, cout))
+        dw = jax.lax.conv_general_dilated(
+            x, g, (1, 1), [(pad, pad), (pad, pad)],
+            dimension_numbers=("CHWN", "IHWO", "NHWC"),
+            preferred_element_type=pet,
+        )
+        return acc + dw, None
+
+    def fn():
+        final, _ = jax.lax.scan(body, acc0, jnp.arange(iters))
+        return final
+
+    return jax.jit(fn), 2.0 * b * h * w_ * cin * cout * ksize * ksize
+
+
+def _chain_wgrad_dot(dtype, m, k, n, iters):
+    """1×1-conv wgrad as a K-major dot: [M,K]ᵀ@[M,N] with M = B·H·W."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(4)
+    if dtype == "int8":
+        x = jnp.asarray(rng.integers(-127, 128, (m, k)), jnp.int8)
+        gbuf = jnp.asarray(rng.integers(-127, 128, (m, n + iters)), jnp.int8)
+        acc0 = jnp.zeros((k, n), jnp.int32)
+        pet = jnp.int32
+    else:
+        x = jnp.asarray(
+            rng.standard_normal((m, k), dtype=np.float32), jnp.bfloat16
+        )
+        gbuf = jnp.asarray(
+            rng.standard_normal((m, n + iters), dtype=np.float32) * 0.01,
+            jnp.bfloat16,
+        )
+        acc0 = jnp.zeros((k, n), jnp.float32)
+        pet = jnp.float32
+
+    def body(acc, off):
+        g = jax.lax.dynamic_slice(gbuf, (0, off), (m, n))
+        dw = jax.lax.dot_general(
+            x, g, (((0,), (0,)), ((), ())), preferred_element_type=pet
+        )
+        return acc + dw, None
+
+    def fn():
+        final, _ = jax.lax.scan(body, acc0, jnp.arange(iters))
+        return final
+
+    return jax.jit(fn), 2.0 * m * k * n
+
+
+def _chain_dgrad_s2(dtype, b, oh, ow, cin, cout, iters):
+    """Input-gradient of a stride-2 1×1 conv: lhs_dilation=2 transposed
+    conv (the downsample convs' bwd) — the other lowering the fwd tables
+    don't cover."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    if dtype == "int8":
+        g0 = jnp.asarray(rng.integers(-127, 128, (b, oh, ow, cout)), jnp.int8)
+        ks = jnp.asarray(
+            rng.integers(-127, 128, (iters, 1, 1, cout, cin)), jnp.int8
+        )
+        acc0 = jnp.zeros((b, oh * 2, ow * 2, cin), jnp.int32)
+        pet = jnp.int32
+    else:
+        g0 = jnp.asarray(rng.normal(size=(b, oh, ow, cout)), jnp.bfloat16)
+        ks = jnp.asarray(
+            rng.normal(size=(iters, 1, 1, cout, cin)) * 0.01, jnp.bfloat16
+        )
+        acc0 = jnp.zeros((b, oh * 2, ow * 2, cin), jnp.float32)
+        pet = jnp.float32
+
+    def body(acc, kernel):
+        dx = jax.lax.conv_general_dilated(
+            g0, kernel, (1, 1), [(0, 1), (0, 1)], lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=pet,
+        )
+        return acc + dx, None
+
+    def fn():
+        final, _ = jax.lax.scan(body, acc0, ks)
+        return final
+
+    return jax.jit(fn), 2.0 * b * oh * ow * cout * cin
+
+
 def _time(fn, reps):
     import jax
 
@@ -212,6 +337,13 @@ def main() -> int:
             (f"aspp_{dt}", *_chain_aspp(dt, 8192, 1280, 256, args.iters)),
             (f"conv1x1_{dt}", *_chain_conv(dt, 8, 32, 32, 1280, 256, 1, args.iters)),
             (f"conv3x3_{dt}", *_chain_conv(dt, 8, 128, 128, 128, 128, 3, args.iters)),
+            # backward-pass lowerings (round-3 int8-bwd question): the
+            # stride-1 dgrad is itself a plain conv (covered above); these
+            # are the two bwd-only shapes — wgrad (window = feature map)
+            # and strided dgrad (lhs_dilation transposed conv)
+            (f"wgrad3x3_{dt}", *_chain_wgrad(dt, 8, 128, 128, 128, 128, 3, args.iters)),
+            (f"wgrad1x1dot_{dt}", *_chain_wgrad_dot(dt, 131072, 256, 256, args.iters)),
+            (f"dgrad1x1s2_{dt}", *_chain_dgrad_s2(dt, 8, 64, 64, 256, 512, args.iters)),
         ]
 
     results = {}
