@@ -33,7 +33,8 @@ A100_TRAIN_TILES_PER_SEC = 95.0  # documented estimate, see module docstring
 
 
 def build(batch: int, size: int, backbone: str = "resnet50", output_stride: int = 16,
-          int8_training: bool = False, int8_scale_mode: str = "dynamic"):
+          int8_training: bool = False, int8_scale_mode: str = "dynamic",
+          int8_bwd: bool = False):
     from iswm_tpu.config import Config
     from iswm_tpu.models import build_model
     from iswm_tpu.ops import make_loss_fn
@@ -46,6 +47,7 @@ def build(batch: int, size: int, backbone: str = "resnet50", output_stride: int 
     cfg.model.compute_dtype = "bfloat16"
     cfg.model.int8_training = int8_training  # experimental QAT fwd convs
     cfg.model.int8_scale_mode = int8_scale_mode
+    cfg.model.int8_training_bwd = int8_bwd  # + int8 dgrad/wgrad
     model = build_model(cfg.model)
     tx, _ = make_optimizer(cfg.optim, total_itrs=30000)
     loss_fn = make_loss_fn("ce_loss")
@@ -118,6 +120,9 @@ def main() -> int:
                     help="activation-scale mode for --int8_training convs "
                          "(delayed = fp8-style stale scaling, one fusable "
                          "quantize pass per conv input)")
+    ap.add_argument("--int8_bwd", action="store_true",
+                    help="with --int8_training: dgrad/wgrad also run int8 "
+                         "(quantized cotangents, int8 activation residuals)")
     ap.add_argument("--output_stride", type=int, default=16, choices=(8, 16))
     args = ap.parse_args()
 
@@ -140,6 +145,7 @@ def main() -> int:
                 b, args.size, args.backbone, args.output_stride,
                 int8_training=args.int8_training,
                 int8_scale_mode=args.int8_scale_mode,
+                int8_bwd=args.int8_bwd,
             )
             # warm up / compile both paths
             state, m = train_step(state, images, labels, rng)

@@ -68,6 +68,13 @@ class ModelConfig:
     # absmax only feeding the next step's scale.  Measured on v5e in
     # BASELINE.md "int8 via XLA".
     int8_scale_mode: str = "dynamic"
+    # EXPERIMENTAL int8 BACKWARD for the int8_training convs: dgrad and
+    # wgrad also run int8 on the MXU (ops/int8_train.int8_conv_fullq) —
+    # the cotangent is quantized per-tensor, wgrad reuses the forward's
+    # quantized activations (int8 residuals, half the bf16 bytes).  A
+    # further numerics change on top of QAT (quantized gradients);
+    # requires int8_training > 0 to have any effect.
+    int8_training_bwd: bool = False
 
 
 @dataclass

@@ -85,6 +85,21 @@ def int8_scale_mode() -> str:
     return _INT8_SCALE_MODE[0]
 
 
+# int8 BACKWARD (dgrad/wgrad on the int8 MXU path too) for the gated
+# convs — ModelConfig.int8_training_bwd, wired by build_model:
+_INT8_BWD = [False]
+
+
+def set_int8_bwd(enabled: bool) -> bool:
+    prev = _INT8_BWD[0]
+    _INT8_BWD[0] = bool(enabled)
+    return prev
+
+
+def int8_bwd_enabled() -> bool:
+    return _INT8_BWD[0]
+
+
 def torch_conv_padding(kernel_size: int, dilation: int = 1) -> Tuple[int, int]:
     """Symmetric per-side padding torch uses: (k//2)*d for odd k."""
     pad = (kernel_size // 2) * dilation
@@ -124,7 +139,9 @@ class ConvBN(nn.Module):
             and x.shape[-1] >= min_ch
             and self.dilation < 6  # the valid-tap branch handles >= 6
         ):
-            from ..ops.int8_train import int8_conv_st, int8_conv_static_amax
+            from ..ops.int8_train import (
+                int8_conv_fullq, int8_conv_st, int8_conv_static_amax,
+            )
 
             kernel = ConvVars(
                 self.features, self.kernel_size, self.param_dtype, name="conv"
@@ -134,6 +151,14 @@ class ConvBN(nn.Module):
                 tuple(tuple(p) for p in pad),
                 (self.dilation, self.dilation),
             )
+            if int8_bwd_enabled():
+                # fwd AND bwd on the int8 MXU path (dynamic scales; the
+                # delayed-amax mode is fwd-only — bwd quantizes the
+                # cotangent per step by construction)
+                x = int8_conv_fullq(
+                    x.astype(self.dtype), kernel.astype(self.dtype), *geometry
+                )
+                return self._bn_relu(x, train)
             delayed = int8_scale_mode() == "delayed" and (
                 self.is_initializing()
                 or self.has_variable("quant", "x_amax")

@@ -164,3 +164,173 @@ def _static_bwd(strides, padding, dilation, res, g):
 
 
 _int8_conv_static.defvjp(_static_fwd, _static_bwd)
+
+
+# ----------------------------------------------------- int8 BACKWARD convs
+#
+# Round-3 follow-up: the fwd-only QAT above measured slightly NEGATIVE on
+# the full train step because the forward is only ~1/3 of step FLOPs; the
+# backward (dgrad + wgrad, each ≈ fwd FLOPs) stayed bf16 "by design".
+# With XLA's int8 lowering measured at the 2× MXU rate (BASELINE.md "int8
+# via XLA"), routing the backward too is the one live lever to the stated
+# 280–300 tiles/s train target.  Numerics: the incoming cotangent g is
+# quantized per-tensor (symmetric dynamic absmax) — int8 GRADIENTS are a
+# deliberate, opt-in training-numerics change on top of QAT; fwd/bwd
+# consistency is preserved where it matters (wgrad contracts the SAME
+# quantized activations the forward consumed, dgrad the same quantized
+# weights re-scaled per-tensor).
+
+
+def _vjp_lhs_padding(in_size, k, stride, pad, dilation, out_size):
+    """Per-dim padding of the dgrad conv (jax's transpose-lhs rule)."""
+    lhs_dilated = (out_size - 1) * stride + 1
+    rhs_dilated = (k - 1) * dilation + 1
+    pad_before = rhs_dilated - 1 - pad[0]
+    pad_after = in_size + rhs_dilated - 1 - lhs_dilated - pad_before
+    return (pad_before, pad_after)
+
+
+def _vjp_rhs_padding(in_size, k, stride, pad, dilation, out_size):
+    """Per-dim padding of the wgrad conv (jax's transpose-rhs rule)."""
+    rhs_dilated = (out_size - 1) * stride + 1
+    out_dilated = (k - 1) * dilation + 1
+    pad_before = pad[0]
+    pad_after = out_dilated + rhs_dilated - 1 - in_size - pad_before
+    return (pad_before, pad_after)
+
+
+def _int8_dgrad(g_q, g_s, w, x_shape, strides, padding, dilation):
+    """dx of the dense conv, computed as an int8 transposed conv.
+
+    ``w`` is the unquantized kernel; it is re-quantized here PER-TENSOR
+    (the fwd per-O scales cannot factor out of dgrad's O-contraction).
+    """
+    kh, kw = w.shape[0], w.shape[1]
+    w_amax = jax.lax.stop_gradient(
+        jnp.max(jnp.abs(w.astype(jnp.float32)))
+    )
+    w_s = jnp.where(w_amax > 0, w_amax / 127.0, 1.0)
+    w_q = jnp.clip(
+        jnp.round(w.astype(jnp.float32) / w_s), -127, 127
+    ).astype(jnp.int8)
+    # spatially flipped, I/O swapped kernel
+    w_t = jnp.transpose(w_q[::-1, ::-1], (0, 1, 3, 2))
+    pads = [
+        _vjp_lhs_padding(x_shape[1 + i], (kh, kw)[i], strides[i],
+                         padding[i], dilation[i], g_q.shape[1 + i])
+        for i in range(2)
+    ]
+    acc = jax.lax.conv_general_dilated(
+        g_q, w_t, (1, 1), pads,
+        lhs_dilation=strides, rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * (g_s * w_s)
+
+
+def _int8_wgrad(x_q, x_s, g_q, g_s, k, strides, padding, dilation):
+    """dw of the dense conv as an int8 conv contracting over (B, H, W):
+    lhs = the SAME quantized activations the forward consumed (spec CHWN,
+    batch dim = Cin), rhs = the quantized cotangent (spec IHWO, feature
+    dim = B), output spatial extent = the kernel.
+
+    1×1 kernels take the dot_general form instead: measured on v5e, the
+    int8 wgrad-as-dot runs at 373 TOP/s (4× the 94 TFLOP/s bf16 dot)
+    while the conv form stays at the bf16 rate (179 ≈ 177) — XLA only
+    engages the 2× int8 MXU rate for the dot lowering of this
+    contraction (scripts/int8_xla_bench.py wgrad1x1dot/wgrad3x3 rows).
+    """
+    if k == (1, 1) and tuple(map(tuple, padding)) == ((0, 0), (0, 0)):
+        # subsample x to the output grid (stride s; offset 0 because the
+        # zoo's 1×1 convs are unpadded — torch pads (k//2)*d = 0)
+        xs = x_q[:, :: strides[0], :: strides[1], :]
+        xs = xs[:, : g_q.shape[1], : g_q.shape[2], :]
+        m = xs.shape[0] * xs.shape[1] * xs.shape[2]
+        dw = jax.lax.dot_general(
+            xs.reshape(m, xs.shape[3]),
+            g_q.reshape(m, g_q.shape[3]),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [Cin, Cout]
+        dw = dw.astype(jnp.float32) * (x_s * g_s)
+        return dw[None, None]
+    pads = [
+        _vjp_rhs_padding(x_q.shape[1 + i], k[i], strides[i],
+                         padding[i], dilation[i], g_q.shape[1 + i])
+        for i in range(2)
+    ]
+    acc = jax.lax.conv_general_dilated(
+        x_q, g_q, dilation, pads,
+        rhs_dilation=strides,
+        dimension_numbers=("CHWN", "IHWO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )  # [Cin, kh, kw, Cout]
+    dw = acc.astype(jnp.float32) * (x_s * g_s)
+    return jnp.transpose(dw, (1, 2, 0, 3))
+
+
+def _quant_g(g):
+    amax = jnp.max(jnp.abs(g.astype(jnp.float32)))
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(g.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def int8_conv_fullq(
+    x: jax.Array,
+    w: jax.Array,
+    strides: Tuple[int, int] = (1, 1),
+    padding=((1, 1), (1, 1)),
+    dilation: Tuple[int, int] = (1, 1),
+) -> jax.Array:
+    """Conv whose forward AND backward (dgrad + wgrad) run int8 on the MXU.
+
+    Forward matches :func:`int8_conv_st` (dynamic per-tensor x scale,
+    per-O w scales).  Backward quantizes the cotangent per-tensor and
+    reuses the forward's quantized activations as the wgrad operand (they
+    are kept as int8 residuals — half the bf16 residual bytes).
+    ``padding`` must be explicit per-dim pairs (no "SAME" strings): the
+    transpose padding rules need the numbers.
+    """
+    x_q, x_s = _dyn_quant_x(x)
+    w_q, w_s = _dyn_quant_w(w)
+    acc = jax.lax.conv_general_dilated(
+        x_q, w_q, strides, padding, rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * x_s * w_s.reshape(-1)
+    return out.astype(x.dtype)
+
+
+def _fullq_fwd(x, w, strides, padding, dilation):
+    x_q, x_s = _dyn_quant_x(x)
+    w_q, w_s = _dyn_quant_w(w)
+    acc = jax.lax.conv_general_dilated(
+        x_q, w_q, strides, padding, rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    out = (acc.astype(jnp.float32) * x_s * w_s.reshape(-1)).astype(x.dtype)
+    # zero-size dtype witness: residuals must be JAX types, and keeping x
+    # itself would defeat the int8 residual savings
+    return out, (x_q, x_s, w, jnp.zeros((0,), x.dtype))
+
+
+def _fullq_bwd(strides, padding, dilation, res, g):
+    x_q, x_s, w, x_wit = res
+    x_shape, x_dtype = x_q.shape, x_wit.dtype
+    g_q, g_s = _quant_g(jax.lax.stop_gradient(g))
+    dx = _int8_dgrad(
+        g_q, g_s, w, x_shape, strides, padding, dilation
+    ).astype(x_dtype)
+    dw = _int8_wgrad(
+        x_q, x_s, g_q, g_s, (w.shape[0], w.shape[1]),
+        strides, padding, dilation,
+    ).astype(w.dtype)
+    return dx, dw
+
+
+int8_conv_fullq.defvjp(_fullq_fwd, _fullq_bwd)

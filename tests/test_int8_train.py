@@ -294,3 +294,95 @@ def test_quant_sidecar_checkpoint_roundtrip(tmp_path):
     path2 = ckpt_lib.save_latest(str(tmp_path / "plain"), plain_state)
     restored3, _ = ckpt_lib.restore(path2, plain_state)
     assert not jax.tree_util.tree_leaves(restored3.quant)
+
+
+def test_int8_conv_fullq_exact_vs_dense_on_grid():
+    """With inputs planted so every symmetric scale is exactly 1 (amax ==
+    127), quantization is lossless and int8_conv_fullq must reproduce the
+    dense conv's output AND both gradients bit-exactly — this pins the
+    transpose padding/dimension-number math of the int8 dgrad/wgrad across
+    the conv-config grid the zoo uses."""
+    import itertools
+
+    from iswm_tpu.ops.int8_train import int8_conv_fullq
+
+    rng = np.random.default_rng(7)
+
+    def mk(shape):
+        a = rng.integers(-126, 127, shape).astype(np.float32)
+        a.flat[0] = 127.0  # plant amax=127 -> scale 1, exact quantize
+        return jnp.asarray(a)
+
+    for k, s, d in itertools.product((1, 3), (1, 2), (1, 2, 3)):
+        if k == 1 and d > 1:
+            continue
+        pad = ((k // 2) * d, (k // 2) * d)
+        x, w = mk((2, 10, 9, 4)), mk((k, k, 4, 6))
+        wnp = np.array(w)
+        wnp[0, 0, 0, :] = 127.0  # per-O scales exactly 1 too
+        w = jnp.asarray(wnp)
+        geo = ((s, s), (pad, pad), (d, d))
+
+        def dense(x, w):
+            return jax.lax.conv_general_dilated(
+                x, w, (s, s), [pad, pad], rhs_dilation=(d, d),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        out_ref, vjp = jax.vjp(dense, x, w)
+        out = int8_conv_fullq(x, w, *geo)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out_ref))
+
+        g = mk(out_ref.shape)
+        dx_ref, dw_ref = vjp(g)
+        dx, dw = jax.vjp(
+            lambda x, w: int8_conv_fullq(x, w, *geo), x, w
+        )[1](g)
+        np.testing.assert_array_equal(np.asarray(dx), np.asarray(dx_ref)), (k, s, d)
+        np.testing.assert_array_equal(np.asarray(dw), np.asarray(dw_ref)), (k, s, d)
+
+
+def test_int8_bwd_training_smoke():
+    """10 train steps with int8_training_bwd: loss finite and decreasing,
+    variable tree unchanged (checkpoints interchange with bf16)."""
+    from iswm_tpu.config import Config
+    from iswm_tpu.models import build_model
+    from iswm_tpu.models.layers import set_int8_bwd, set_int8_training
+    from iswm_tpu.ops import make_loss_fn
+    from iswm_tpu.train.optim import make_optimizer
+    from iswm_tpu.train.step import create_train_state, make_train_step
+
+    cfg = Config()
+    cfg.model.backbone = "resnet18"
+    cfg.model.compute_dtype = "float32"
+    cfg.model.int8_training = True
+    cfg.model.int8_training_bwd = True
+    try:
+        model = build_model(cfg.model)
+        tx, _ = make_optimizer(cfg.optim, total_itrs=10)
+        step = make_train_step(model, tx, make_loss_fn("ce_loss"), donate=False)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 48, 48, 3)), jnp.float32)
+        y = jnp.asarray((rng.random((2, 48, 48)) > 0.8), jnp.int32)
+        state = create_train_state(model, tx, jax.random.key(0), x[:1])
+
+        set_int8_training(False)
+        set_int8_bwd(False)
+        ref_model = build_model(
+            type(cfg.model)(backbone="resnet18", compute_dtype="float32")
+        )
+        ref_state = create_train_state(ref_model, tx, jax.random.key(0), x[:1])
+        assert jax.tree_util.tree_structure(state.params) == \
+            jax.tree_util.tree_structure(ref_state.params)
+        set_int8_training(True)
+        set_int8_bwd(True)
+
+        losses = []
+        for i in range(10):
+            state, metrics = step(state, x, y, jax.random.key(i))
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+    finally:
+        set_int8_training(False)
+        set_int8_bwd(False)
