@@ -61,6 +61,11 @@ def get_argparser() -> argparse.ArgumentParser:
                    help="activation-scale mode for --int8_training convs "
                         "(delayed = fp8-style stale scaling, one fusable "
                         "quantize pass)")
+    p.add_argument("--int8_bwd", type=int, default=None, choices=[0, 1],
+                   help="with --int8_training: dgrad/wgrad of the gated "
+                        "convs also run int8 on the MXU (quantized "
+                        "cotangents, int8 activation residuals; "
+                        "ops/int8_train.int8_conv_fullq)")
 
     # optimization
     p.add_argument("--total_itrs", type=int, default=None)
@@ -121,6 +126,7 @@ def build_config(args: argparse.Namespace) -> Config:
         ("compute_dtype", ("model", "compute_dtype")),
         ("int8_training", ("model", "int8_training")),
         ("int8_scale_mode", ("model", "int8_scale_mode")),
+        ("int8_bwd", ("model", "int8_training_bwd")),
         ("total_itrs", ("train", "total_itrs")),
         ("lr", ("optim", "lr")),
         ("optimizer", ("optim", "optimizer")),
