@@ -73,7 +73,9 @@ class ModelConfig:
     # the cotangent is quantized per-tensor, wgrad reuses the forward's
     # quantized activations (int8 residuals, half the bf16 bytes).  A
     # further numerics change on top of QAT (quantized gradients);
-    # requires int8_training > 0 to have any effect.
+    # requires int8_training > 0 to have any effect.  Composes with
+    # int8_scale_mode="delayed" (stale fwd scale + int8 bwd,
+    # ops/int8_train.int8_conv_fullq_static).
     int8_training_bwd: bool = False
 
 

@@ -140,7 +140,8 @@ class ConvBN(nn.Module):
             and self.dilation < 6  # the valid-tap branch handles >= 6
         ):
             from ..ops.int8_train import (
-                int8_conv_fullq, int8_conv_st, int8_conv_static_amax,
+                int8_conv_fullq, int8_conv_fullq_static, int8_conv_st,
+                int8_conv_static_amax,
             )
 
             kernel = ConvVars(
@@ -151,14 +152,7 @@ class ConvBN(nn.Module):
                 tuple(tuple(p) for p in pad),
                 (self.dilation, self.dilation),
             )
-            if int8_bwd_enabled():
-                # fwd AND bwd on the int8 MXU path (dynamic scales; the
-                # delayed-amax mode is fwd-only — bwd quantizes the
-                # cotangent per step by construction)
-                x = int8_conv_fullq(
-                    x.astype(self.dtype), kernel.astype(self.dtype), *geometry
-                )
-                return self._bn_relu(x, train)
+            bwd = int8_bwd_enabled()
             delayed = int8_scale_mode() == "delayed" and (
                 self.is_initializing()
                 or self.has_variable("quant", "x_amax")
@@ -168,12 +162,20 @@ class ConvBN(nn.Module):
                 amax = self.variable(
                     "quant", "x_amax", lambda: jnp.zeros((), jnp.float32)
                 )
-                x, new_amax = int8_conv_static_amax(
+                fn = int8_conv_fullq_static if bwd else int8_conv_static_amax
+                x, new_amax = fn(
                     x.astype(self.dtype), kernel.astype(self.dtype),
                     amax.value, *geometry,
                 )
                 if self.is_mutable_collection("quant"):
                     amax.value = new_amax
+            elif bwd:
+                # fwd AND bwd on the int8 MXU path with dynamic scales
+                # (the cotangent quantize is dynamic in both modes — a
+                # gradient has no slowly-drifting scale to carry)
+                x = int8_conv_fullq(
+                    x.astype(self.dtype), kernel.astype(self.dtype), *geometry
+                )
             else:
                 x = int8_conv_st(
                     x.astype(self.dtype), kernel.astype(self.dtype), *geometry

@@ -334,3 +334,56 @@ def _fullq_bwd(strides, padding, dilation, res, g):
 
 
 int8_conv_fullq.defvjp(_fullq_fwd, _fullq_bwd)
+
+
+def int8_conv_fullq_static(
+    x: jax.Array,
+    w: jax.Array,
+    x_amax: jax.Array,  # scalar f32: running activation absmax (stale)
+    strides: Tuple[int, int] = (1, 1),
+    padding=((1, 1), (1, 1)),
+    dilation: Tuple[int, int] = (1, 1),
+    amax_decay: float = 0.999,
+) -> Tuple[jax.Array, jax.Array]:
+    """:func:`int8_conv_fullq` with a DELAYED forward activation scale.
+
+    Composes the two measured-efficient pieces: the forward quantize uses
+    the previous step's running amax (one fusable pass, like
+    :func:`int8_conv_static_amax`), and the backward runs int8 dgrad/wgrad
+    like :func:`int8_conv_fullq` (the cotangent quantize is necessarily
+    dynamic — gradients have no slowly-drifting scale to carry).  Returns
+    ``(out, new_amax)``; store ``new_amax`` in the "quant" collection.
+    """
+    cur = jax.lax.stop_gradient(jnp.max(jnp.abs(x.astype(jnp.float32))))
+    out = _int8_conv_fullq_static(x, w, x_amax, strides, padding, dilation)
+    new_amax = jnp.maximum(cur, x_amax.astype(jnp.float32) * amax_decay)
+    return out, new_amax
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _int8_conv_fullq_static(x, w, x_amax, strides, padding, dilation):
+    out, _ = _fullq_static_fwd(x, w, x_amax, strides, padding, dilation)
+    return out
+
+
+def _fullq_static_fwd(x, w, x_amax, strides, padding, dilation):
+    scale = jnp.where(x_amax > 0, x_amax.astype(jnp.float32) / 127.0, 1.0)
+    x_q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale), -127, 127
+    ).astype(jnp.int8)
+    w_q, w_s = _dyn_quant_w(w)
+    acc = jax.lax.conv_general_dilated(
+        x_q, w_q, strides, padding, rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    out = (acc.astype(jnp.float32) * scale * w_s.reshape(-1)).astype(x.dtype)
+    return out, (x_q, scale, w, jnp.zeros((0,), x.dtype))
+
+
+def _fullq_static_bwd(strides, padding, dilation, res, g):
+    dx, dw = _fullq_bwd(strides, padding, dilation, res, g)
+    return dx, dw, jnp.zeros((), jnp.float32)
+
+
+_int8_conv_fullq_static.defvjp(_fullq_static_fwd, _fullq_static_bwd)

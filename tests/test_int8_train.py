@@ -386,3 +386,78 @@ def test_int8_bwd_training_smoke():
     finally:
         set_int8_training(False)
         set_int8_bwd(False)
+
+
+def test_int8_conv_fullq_static_matches_fullq_when_warm():
+    """With the running amax equal to the true absmax, the delayed+bwd
+    variant reproduces int8_conv_fullq exactly — output AND both int8
+    gradients — and carries no gradient to the amax."""
+    from iswm_tpu.ops.int8_train import int8_conv_fullq, int8_conv_fullq_static
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 10, 9, 8)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 8, 16)) * 0.05, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(2, 10, 9, 16)), jnp.float32)
+    geo = ((1, 1), ((1, 1), (1, 1)), (1, 1))
+    amax = jnp.max(jnp.abs(x))
+
+    out_ref, vjp_ref = jax.vjp(lambda x, w: int8_conv_fullq(x, w, *geo), x, w)
+
+    def f(x, w, a):
+        out, _ = int8_conv_fullq_static(x, w, a, *geo)
+        return out
+
+    out, vjp = jax.vjp(f, x, w, amax)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_ref))
+    dx_ref, dw_ref = vjp_ref(g)
+    dx, dw, da = vjp(g)
+    np.testing.assert_array_equal(np.asarray(dx), np.asarray(dx_ref))
+    np.testing.assert_array_equal(np.asarray(dw), np.asarray(dw_ref))
+    assert float(da) == 0.0
+
+    # the amax side-output still re-adapts from a stale value
+    _, new_amax = int8_conv_fullq_static(x, w, amax * 0.25, *geo)
+    np.testing.assert_allclose(float(new_amax), float(amax), rtol=1e-6)
+
+
+def test_int8_bwd_delayed_training_smoke():
+    """Delayed scale mode + int8 bwd: the quant collection is created and
+    updated, loss decreases over 10 steps."""
+    from iswm_tpu.config import Config
+    from iswm_tpu.models import build_model
+    from iswm_tpu.models.layers import (
+        set_int8_bwd, set_int8_scale_mode, set_int8_training,
+    )
+    from iswm_tpu.ops import make_loss_fn
+    from iswm_tpu.train.optim import make_optimizer
+    from iswm_tpu.train.step import create_train_state, make_train_step
+
+    cfg = Config()
+    cfg.model.backbone = "resnet18"
+    cfg.model.compute_dtype = "float32"
+    cfg.model.int8_training = True
+    cfg.model.int8_scale_mode = "delayed"
+    cfg.model.int8_training_bwd = True
+    try:
+        model = build_model(cfg.model)
+        tx, _ = make_optimizer(cfg.optim, total_itrs=10)
+        step = make_train_step(model, tx, make_loss_fn("ce_loss"), donate=False)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 48, 48, 3)), jnp.float32)
+        y = jnp.asarray((rng.random((2, 48, 48)) > 0.8), jnp.int32)
+        state = create_train_state(model, tx, jax.random.key(0), x[:1])
+        amaxes = jax.tree_util.tree_leaves(state.quant)
+        assert amaxes, "delayed mode must create the quant collection"
+
+        losses = []
+        for i in range(10):
+            state, metrics = step(state, x, y, jax.random.key(i))
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+        warm = jax.tree_util.tree_leaves(state.quant)
+        assert all(float(a) > 0 for a in warm), "amaxes must have warmed up"
+    finally:
+        set_int8_training(False)
+        set_int8_scale_mode("dynamic")
+        set_int8_bwd(False)
