@@ -260,18 +260,27 @@ class ConcatConvBN(nn.Module):
             self.features, self.kernel_size, self.param_dtype, name="conv"
         )(cin)
         pad = torch_conv_padding(self.kernel_size)
+        min_ch = int8_training_min_channels()
+        qat = int8_training_enabled()
         acc = None
         off = 0
-        for p in parts:
+        for i, p in enumerate(parts):
             c = p.shape[-1]
             kp = jax.lax.slice_in_dim(kernel, off, off + c, axis=2)
-            t = jax.lax.conv_general_dilated(
-                p.astype(self.dtype),
-                kp.astype(self.dtype),
-                (1, 1),
-                [pad, pad],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            if qat and c >= min_ch:
+                # QAT routing, per part (each part is its own conv here,
+                # so the ConvBN int8 path applies part-wise; a narrow
+                # part — cls0's 48-ch low-level projection — stays dense
+                # under the same channel gate)
+                t = self._int8_part_conv(i, p, kp, pad)
+            else:
+                t = jax.lax.conv_general_dilated(
+                    p.astype(self.dtype),
+                    kp.astype(self.dtype),
+                    (1, 1),
+                    [pad, pad],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
             acc = t if acc is None else acc + t
             off += c
         x = nn.BatchNorm(
@@ -285,6 +294,42 @@ class ConcatConvBN(nn.Module):
         if self.use_relu:
             x = nn.relu(x)
         return x
+
+    def _int8_part_conv(self, i, p, kp, pad):
+        """One part's conv on the QAT int8 path (mirrors ConvBN's routing:
+        dynamic / delayed fwd scales × bf16 / int8 backward)."""
+        from ..ops.int8_train import (
+            int8_conv_fullq, int8_conv_fullq_static, int8_conv_st,
+            int8_conv_static_amax,
+        )
+
+        geometry = ((1, 1), (tuple(pad), tuple(pad)), (1, 1))
+        bwd = int8_bwd_enabled()
+        name = f"x_amax_p{i}"
+        delayed = int8_scale_mode() == "delayed" and (
+            self.is_initializing()
+            or self.has_variable("quant", name)
+            or self.is_mutable_collection("quant")
+        )
+        if delayed:
+            amax = self.variable(
+                "quant", name, lambda: jnp.zeros((), jnp.float32)
+            )
+            fn = int8_conv_fullq_static if bwd else int8_conv_static_amax
+            t, new_amax = fn(
+                p.astype(self.dtype), kp.astype(self.dtype),
+                amax.value, *geometry,
+            )
+            if self.is_mutable_collection("quant"):
+                amax.value = new_amax
+            return t
+        if bwd:
+            return int8_conv_fullq(
+                p.astype(self.dtype), kp.astype(self.dtype), *geometry
+            )
+        return int8_conv_st(
+            p.astype(self.dtype), kp.astype(self.dtype), *geometry
+        )
 
 
 class SeparableConvBN(nn.Module):

@@ -448,6 +448,10 @@ def test_int8_bwd_delayed_training_smoke():
         state = create_train_state(model, tx, jax.random.key(0), x[:1])
         amaxes = jax.tree_util.tree_leaves(state.quant)
         assert amaxes, "delayed mode must create the quant collection"
+        flat = jax.tree_util.tree_flatten_with_path(state.quant)[0]
+        assert any(
+            "x_amax_p" in jax.tree_util.keystr(path) for path, _ in flat
+        ), "ConcatConvBN (decoder cls0) parts must be QAT-routed too"
 
         losses = []
         for i in range(10):
