@@ -492,6 +492,16 @@ class ShiftedDilatedConv(nn.Module):
         kernel = self.param(
             "kernel", kaiming_normal, (3, 3, c, self.features), self.param_dtype
         )
+        if int8_training_enabled() and c >= int8_training_min_channels():
+            # QAT: tap dots run int8 (all ASPP branches quantize the SAME
+            # input, so XLA CSEs the dynamic quantize across them — no
+            # delayed-scale variant needed here)
+            from ..ops.int8_train import int8_dilated_conv3x3
+
+            return int8_dilated_conv3x3(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                self.dilation, int8_bwd_enabled(),
+            )
         return dilated_conv3x3(
             x.astype(self.dtype), kernel.astype(self.dtype), self.dilation
         )

@@ -387,3 +387,122 @@ def _fullq_static_bwd(strides, padding, dilation, res, g):
 
 
 _int8_conv_fullq_static.defvjp(_fullq_static_fwd, _fullq_static_bwd)
+
+
+# ------------------------------------------- int8 valid-tap atrous conv
+#
+# Training QAT for the ASPP ShiftedDilatedConv branches (dilation 6/12/18
+# valid-tap matmuls, models/layers.dilated_conv3x3).  The forward runs the
+# tap dots int8 (like serving's ops/int8_xla.int8_shifted_dilated_conv);
+# the backward either stays dense bf16 (straight-through, int8_bwd=False)
+# or runs int8 too: wgrad keeps the valid-tap form as int8 DOTS (the
+# lowering measured at 4x the bf16 dot rate — scripts/int8_xla_bench.py
+# wgrad1x1dot), dgrad is one int8 dilated conv of the quantized cotangent
+# with the per-tensor re-quantized rotated kernel.
+#
+# No delayed-scale variant: all ASPP branches quantize the SAME input
+# tensor, so XLA CSEs the dynamic absmax+quantize to one pass across the
+# branches — the delayed mode's saving is already amortized here.
+
+
+def _int8_taps(x_q, w_q, d):
+    """Valid-tap shifted int8 matmuls -> int32 accumulator [B,H,W,F]."""
+    b, h, w_, c = x_q.shape
+    acc = None
+    for i, dy in enumerate((-d, 0, d)):
+        for j, dx_ in enumerate((-d, 0, d)):
+            ys, ye = max(0, -dy), h - max(0, dy)
+            xs, xe = max(0, -dx_), w_ - max(0, dx_)
+            if ye <= ys or xe <= xs:
+                continue  # tap entirely in padding
+            src = jax.lax.slice(
+                x_q, (0, ys + dy, xs + dx_, 0), (b, ye + dy, xe + dx_, c)
+            )
+            t = jax.lax.dot_general(
+                src, w_q[i, j], (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            t = jax.lax.pad(
+                t, jnp.zeros((), jnp.int32),
+                ((0, 0, 0), (ys, h - ye, 0), (xs, w_ - xe, 0), (0, 0, 0)),
+            )
+            acc = t if acc is None else acc + t
+    return acc
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def int8_dilated_conv3x3(
+    x: jax.Array, w: jax.Array, d: int, int8_bwd: bool = False
+) -> jax.Array:
+    """QAT valid-tap atrous conv: int8 forward, selectable backward.
+
+    Math matches Conv2d(3,3,dilation=d,padding=d,bias=False) under the
+    symmetric-quantization contract (models/layers.dilated_conv3x3 is the
+    dense counterpart, reference _deeplab.py:121-128 ASPPConv behavior).
+    """
+    out, _ = _dil_fwd(x, w, d, int8_bwd)
+    return out
+
+
+def _dil_fwd(x, w, d, int8_bwd):
+    x_q, x_s = _dyn_quant_x(x)
+    w_q, w_s = _dyn_quant_w(w)
+    acc = _int8_taps(x_q, w_q, d)
+    out = (acc.astype(jnp.float32) * x_s * w_s.reshape(-1)).astype(x.dtype)
+    if int8_bwd:
+        # int8 residuals (the dense x is not kept)
+        return out, (x_q, x_s, w, jnp.zeros((0,), x.dtype))
+    return out, (x, w, None, None)
+
+
+def _dil_bwd(d, int8_bwd, res, g):
+    if not int8_bwd:
+        x, w, _, _ = res
+        # straight-through: the dense tap-decomposition backward
+        from ..models.layers import _dilated_bwd
+
+        return _dilated_bwd(d, (x, w), g.astype(x.dtype))
+
+    x_q, x_s, w, x_wit = res
+    b, h, w_, c = x_q.shape
+    g_q, g_s = _quant_g(jax.lax.stop_gradient(g))
+    # dgrad: one int8 dilated conv of g with the rot180, I/O-swapped,
+    # per-tensor re-quantized kernel
+    w_amax = jax.lax.stop_gradient(jnp.max(jnp.abs(w.astype(jnp.float32))))
+    w_s_pt = jnp.where(w_amax > 0, w_amax / 127.0, 1.0)
+    w_q_pt = jnp.clip(
+        jnp.round(w.astype(jnp.float32) / w_s_pt), -127, 127
+    ).astype(jnp.int8)
+    k_rot = jnp.flip(w_q_pt, axis=(0, 1)).transpose(0, 1, 3, 2)
+    dx = jax.lax.conv_general_dilated(
+        g_q, k_rot, (1, 1), [(d, d), (d, d)], rhs_dilation=(d, d),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    dx = (dx.astype(jnp.float32) * (g_s * w_s_pt)).astype(x_wit.dtype)
+    # wgrad: per valid tap, int8 dot of the forward's quantized input
+    # window against the quantized cotangent window
+    dk_taps = []
+    for i, dy in enumerate((-d, 0, d)):
+        row = []
+        for j, dx_ in enumerate((-d, 0, d)):
+            ys, ye = max(0, -dy), h - max(0, dy)
+            xs, xe = max(0, -dx_), w_ - max(0, dx_)
+            if ye <= ys or xe <= xs:
+                row.append(jnp.zeros((c, w.shape[-1]), jnp.float32))
+                continue
+            src = jax.lax.slice(
+                x_q, (0, ys + dy, xs + dx_, 0), (b, ye + dy, xe + dx_, c)
+            )
+            gv = jax.lax.slice(g_q, (0, ys, xs, 0), (b, ye, xe, g_q.shape[-1]))
+            dw = jax.lax.dot_general(
+                src, gv, (((0, 1, 2), (0, 1, 2)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            row.append(dw.astype(jnp.float32) * (x_s * g_s))
+        dk_taps.append(jnp.stack(row))
+    dk = jnp.stack(dk_taps).astype(w.dtype)
+    return dx, dk
+
+
+int8_dilated_conv3x3.defvjp(_dil_fwd, _dil_bwd)

@@ -465,3 +465,54 @@ def test_int8_bwd_delayed_training_smoke():
         set_int8_training(False)
         set_int8_scale_mode("dynamic")
         set_int8_bwd(False)
+
+
+def test_int8_dilated_conv3x3_exact_on_grid():
+    """Planted amax=127 inputs make every scale exactly 1: the int8
+    valid-tap atrous conv must reproduce the dense dilated conv's output
+    and (int8_bwd=True) both gradients bit-exactly, across the ASPP
+    dilation range; int8_bwd=False must reproduce the dense tap-form
+    backward exactly (straight-through)."""
+    from iswm_tpu.models.layers import dilated_conv3x3
+    from iswm_tpu.ops.int8_train import int8_dilated_conv3x3
+
+    rng = np.random.default_rng(13)
+
+    def mk(shape):
+        a = rng.integers(-126, 127, shape).astype(np.float32)
+        a.flat[0] = 127.0
+        return jnp.asarray(a)
+
+    for d in (1, 2, 3, 6):  # 6 > map extent/2 on a 10x9 map: taps clipped
+        x, w = mk((2, 10, 9, 4)), mk((3, 3, 4, 6))
+        wnp = np.array(w)
+        wnp[0, 0, 0, :] = 127.0  # per-O scales exactly 1
+        w = jnp.asarray(wnp)
+
+        def dense(x, w):
+            return jax.lax.conv_general_dilated(
+                x, w, (1, 1), [(d, d), (d, d)], rhs_dilation=(d, d),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        out_ref, vjp_ref = jax.vjp(dense, x, w)
+        out = int8_dilated_conv3x3(x, w, d, True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out_ref))
+
+        g = mk(out_ref.shape)
+        dx_ref, dw_ref = vjp_ref(g)
+        dx, dw = jax.vjp(
+            lambda x, w: int8_dilated_conv3x3(x, w, d, True), x, w
+        )[1](g)
+        np.testing.assert_array_equal(np.asarray(dx), np.asarray(dx_ref)), d
+        np.testing.assert_array_equal(np.asarray(dw), np.asarray(dw_ref)), d
+
+        # straight-through mode: grads equal the dense TAP backward
+        dx_st, dw_st = jax.vjp(
+            lambda x, w: int8_dilated_conv3x3(x, w, d, False), x, w
+        )[1](g)
+        dx_tap, dw_tap = jax.vjp(
+            lambda x, w: dilated_conv3x3(x, w, d), x, w
+        )[1](g)
+        np.testing.assert_array_equal(np.asarray(dx_st), np.asarray(dx_tap))
+        np.testing.assert_array_equal(np.asarray(dw_st), np.asarray(dw_tap))
