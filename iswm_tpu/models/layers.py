@@ -332,6 +332,22 @@ class ConcatConvBN(nn.Module):
         )
 
 
+def qat_pointwise_conv(x, features, dtype, param_dtype, name="pointwise"):
+    """1×1 unpadded conv on the QAT int8 path, variable-tree-identical to
+    ``nn.Conv(use_bias=False, name=name)``.  Call from a compact module
+    ONLY when the int8 gate holds (int8_training_enabled() and the channel
+    gate) — the pointwise halves of separable convs are ~all of their
+    FLOPs (xception int8 serving measured +41%, BASELINE.md).  Dynamic
+    scales only; the delayed-amax machinery stays in ConvBN where the
+    flagship trains."""
+    from ..ops.int8_train import int8_conv_fullq, int8_conv_st
+
+    kernel = ConvVars(features, 1, param_dtype, name=name)(x.shape[-1])
+    geometry = ((1, 1), ((0, 0), (0, 0)), (1, 1))
+    fn = int8_conv_fullq if int8_bwd_enabled() else int8_conv_st
+    return fn(x.astype(dtype), kernel.astype(dtype), *geometry)
+
+
 class SeparableConvBN(nn.Module):
     """Atrous separable conv: depthwise(k, dilation) + pointwise 1x1, then
     BN(+ReLU).  Mirrors AtrousSeparableConvolution (reference
@@ -364,15 +380,20 @@ class SeparableConvBN(nn.Module):
             param_dtype=self.param_dtype,
             name="depthwise",
         )(x)
-        x = nn.Conv(
-            self.features,
-            (1, 1),
-            use_bias=False,
-            kernel_init=kaiming_normal,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name="pointwise",
-        )(x)
+        if int8_training_enabled() and x.shape[-1] >= int8_training_min_channels():
+            x = qat_pointwise_conv(
+                x, self.features, self.dtype, self.param_dtype
+            )
+        else:
+            x = nn.Conv(
+                self.features,
+                (1, 1),
+                use_bias=False,
+                kernel_init=kaiming_normal,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="pointwise",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,

@@ -55,10 +55,22 @@ class SepConvBN(nn.Module):
             kernel_init=kaiming_normal,
             dtype=self.dtype, param_dtype=self.param_dtype, name="depthwise",
         )(x)
-        x = nn.Conv(
-            self.features, (1, 1), use_bias=False, kernel_init=kaiming_normal,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="pointwise",
-        )(x)
+        from .layers import (
+            int8_training_enabled, int8_training_min_channels,
+            qat_pointwise_conv,
+        )
+
+        if int8_training_enabled() and x.shape[-1] >= int8_training_min_channels():
+            x = qat_pointwise_conv(
+                x, self.features, self.dtype, self.param_dtype
+            )
+        else:
+            x = nn.Conv(
+                self.features, (1, 1), use_bias=False,
+                kernel_init=kaiming_normal,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name="pointwise",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, param_dtype=self.param_dtype, name="bn",

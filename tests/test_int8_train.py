@@ -516,3 +516,51 @@ def test_int8_dilated_conv3x3_exact_on_grid():
         )[1](g)
         np.testing.assert_array_equal(np.asarray(dx_st), np.asarray(dx_tap))
         np.testing.assert_array_equal(np.asarray(dw_st), np.asarray(dw_tap))
+
+
+def test_int8_training_xception_pointwise_smoke():
+    """QAT routes the separable pointwise convs (xception zoo): params tree
+    matches the dense model's, 3 train steps stay finite and decrease."""
+    from iswm_tpu.config import Config
+    from iswm_tpu.models import build_model
+    from iswm_tpu.models.layers import set_int8_bwd, set_int8_training
+    from iswm_tpu.ops import make_loss_fn
+    from iswm_tpu.train.optim import make_optimizer
+    from iswm_tpu.train.step import create_train_state, make_train_step
+
+    cfg = Config()
+    cfg.model.backbone = "xception"
+    cfg.model.compute_dtype = "float32"
+    cfg.model.int8_training = True
+    cfg.model.int8_training_bwd = True
+    try:
+        model = build_model(cfg.model)
+        tx, _ = make_optimizer(cfg.optim, total_itrs=3)
+        step = make_train_step(model, tx, make_loss_fn("ce_loss"), donate=False)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
+        y = jnp.asarray((rng.random((1, 64, 64)) > 0.8), jnp.int32)
+        state = create_train_state(model, tx, jax.random.key(0), x)
+
+        set_int8_training(False)
+        set_int8_bwd(False)
+        ref_model = build_model(
+            type(cfg.model)(backbone="xception", compute_dtype="float32")
+        )
+        ref_state = create_train_state(ref_model, tx, jax.random.key(0), x)
+        assert jax.tree_util.tree_structure(state.params) == \
+            jax.tree_util.tree_structure(ref_state.params)
+        set_int8_training(True)
+        set_int8_bwd(True)
+
+        losses = []
+        for i in range(8):
+            state, metrics = step(state, x, y, jax.random.key(i))
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        # int8-gradient steps on a 1-sample batch aren't monotonic;
+        # descend-on-average is the invariant
+        assert min(losses[4:]) < losses[0]
+    finally:
+        set_int8_training(False)
+        set_int8_bwd(False)
