@@ -564,3 +564,60 @@ def test_int8_training_xception_pointwise_smoke():
     finally:
         set_int8_training(False)
         set_int8_bwd(False)
+
+
+def test_int8_bwd_training_on_mesh():
+    """QAT (delayed scales + int8 bwd) composes with the multi-chip
+    program: the train step jits over a 4x2 data-x-model mesh (batch over
+    'data', image H over 'model' — GSPMD inserts the global amax
+    all-reduces and conv halo exchanges), loss is finite over 2 steps and
+    the replicated quant amaxes warm up to globally-consistent values."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from iswm_tpu.config import Config
+    from iswm_tpu.models import build_model
+    from iswm_tpu.models.layers import (
+        set_int8_bwd, set_int8_scale_mode, set_int8_training,
+    )
+    from iswm_tpu.ops import make_loss_fn
+    from iswm_tpu.parallel.mesh import make_mesh
+    from iswm_tpu.train.optim import make_optimizer
+    from iswm_tpu.train.step import create_train_state, make_train_step
+
+    cfg = Config()
+    cfg.model.backbone = "resnet18"
+    cfg.model.compute_dtype = "float32"
+    cfg.model.int8_training = True
+    cfg.model.int8_scale_mode = "delayed"
+    cfg.model.int8_training_bwd = True
+    try:
+        model = build_model(cfg.model)
+        tx, _ = make_optimizer(cfg.optim, total_itrs=2)
+        step = make_train_step(model, tx, make_loss_fn("ce_loss"), donate=False)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(4, 48, 48, 3)), jnp.float32)
+        y = jnp.asarray((rng.random((4, 48, 48)) > 0.8), jnp.int32)
+        state = create_train_state(model, tx, jax.random.key(0), x[:1])
+
+        mesh = make_mesh(data_axis=4, model_axis=2)
+        batch_sh = NamedSharding(mesh, P("data", "model"))
+        repl = NamedSharding(mesh, P())
+        state = jax.device_put(state, repl)
+        x = jax.device_put(x, batch_sh)
+        y = jax.device_put(y, batch_sh)
+
+        losses = []
+        for i in range(2):
+            state, metrics = step(state, x, y, jax.random.key(i))
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        warm = jax.tree_util.tree_leaves(state.quant)
+        assert warm and all(float(a) > 0 for a in warm)
+        # amax state must stay fully replicated (every shard identical)
+        for leaf in warm:
+            vals = {float(np.asarray(s.data)) for s in leaf.addressable_shards}
+            assert len(vals) == 1
+    finally:
+        set_int8_training(False)
+        set_int8_scale_mode("dynamic")
+        set_int8_bwd(False)
