@@ -45,7 +45,11 @@ _CACHE_DIRS = (
     lambda: os.path.expanduser("~/.cache/torch/hub/checkpoints"),
 )
 
-_RESNETS = ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152")
+_RESNETS = (
+    "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
+    "resnext50_32x4d", "resnext101_32x8d",
+    "wide_resnet50_2", "wide_resnet101_2",
+)
 
 
 _FILE_ALIASES = {

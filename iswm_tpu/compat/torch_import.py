@@ -67,6 +67,13 @@ _RESNET_LAYERS = {
     "resnet50": (3, 4, 6, 3),
     "resnet101": (3, 4, 23, 3),
     "resnet152": (3, 8, 36, 3),
+    # grouped / wide variants: identical layer naming, only conv widths
+    # differ, so the name-based mapping imports them unchanged (reference
+    # network/backbone/resnet.py:287-346)
+    "resnext50_32x4d": (3, 4, 6, 3),
+    "resnext101_32x8d": (3, 4, 23, 3),
+    "wide_resnet50_2": (3, 4, 6, 3),
+    "wide_resnet101_2": (3, 4, 23, 3),
 }
 _BASIC = ("resnet18", "resnet34")
 

@@ -28,7 +28,8 @@ class ModelConfig:
     """Model zoo selection (reference network/modeling.py:12-83)."""
 
     name: str = "deeplabv3plus"  # deeplabv3plus | deeplabv3
-    backbone: str = "resnet50"  # resnet18/34/50/101/152 | mobilenetv2 | xception
+    backbone: str = "resnet50"  # resnet18/34/50/101/152 | resnext50_32x4d |
+    #   resnext101_32x8d | wide_resnet50_2 | wide_resnet101_2 | mobilenetv2 | xception
     num_classes: int = 2
     output_stride: int = 16  # 8 -> aspp [12,24,36]; 16 -> [6,12,18]
     in_channels: int = 3

@@ -22,7 +22,12 @@ from .mobilenetv2 import MobileNetV2
 from .resnet import ResNet, resnet_feature_channels
 from .xception import Xception
 
-_RESNETS = ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152")
+_RESNETS = (
+    "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
+    # grouped / wide variants (reference network/backbone/resnet.py:287-346)
+    "resnext50_32x4d", "resnext101_32x8d",
+    "wide_resnet50_2", "wide_resnet101_2",
+)
 BACKBONES = _RESNETS + ("mobilenetv2", "xception")
 HEADS = ("deeplabv3plus", "deeplabv3")
 

@@ -65,6 +65,11 @@ class Bottleneck(nn.Module):
     The residual add is a plain ``+`` — the reference's FloatFunctional
     (resnet.py:97,117) exists only for torch-int8 bookkeeping.
 
+    ``groups``/``base_width`` follow torchvision's Bottleneck semantics:
+    the inner width is ``int(planes * base_width / 64) * groups`` and the
+    3x3 conv is grouped — resnext50_32x4d etc. (reference
+    network/backbone/resnet.py:287-346 constructors).
+
     ``fused_mode`` selects the Pallas fused-BN training path for
     stride-1/dilation-1 blocks ("compiled" on TPU, "interpret" for CPU
     tests, "never" = plain ConvBN chain).  Both paths declare the same
@@ -75,6 +80,8 @@ class Bottleneck(nn.Module):
     strides: int = 1
     dilation: int = 1
     downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
     fused_mode: str = "never"
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
@@ -90,6 +97,8 @@ class Bottleneck(nn.Module):
             and train
             and self.strides == 1
             and self.dilation == 1
+            and self.groups == 1
+            and self.base_width == 64
         ):
             from .fused_block import fused_block_eligible, fused_bottleneck_apply
 
@@ -99,9 +108,10 @@ class Bottleneck(nn.Module):
                 )
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
                   bn_momentum=self.bn_momentum, bn_epsilon=self.bn_epsilon)
+        width = int(self.planes * self.base_width / 64) * self.groups
         identity = x
-        out = ConvBN(self.planes, 1, name="conv1", **kw)(x, train)
-        out = ConvBN(self.planes, 3, strides=self.strides,
+        out = ConvBN(width, 1, name="conv1", **kw)(x, train)
+        out = ConvBN(width, 3, strides=self.strides, groups=self.groups,
                      dilation=self.dilation, name="conv2", **kw)(out, train)
         out = ConvBN(self.planes * 4, 1, use_relu=False, name="conv3", **kw)(out, train)
         if self.downsample:
@@ -111,18 +121,24 @@ class Bottleneck(nn.Module):
 
 
 _ARCHS = {
-    # name: (block, layers)
-    "resnet18": (BasicBlock, (2, 2, 2, 2)),
-    "resnet34": (BasicBlock, (3, 4, 6, 3)),
-    "resnet50": (Bottleneck, (3, 4, 6, 3)),
-    "resnet101": (Bottleneck, (3, 4, 23, 3)),
-    "resnet152": (Bottleneck, (3, 8, 36, 3)),
+    # name: (block, layers, groups, base_width)
+    "resnet18": (BasicBlock, (2, 2, 2, 2), 1, 64),
+    "resnet34": (BasicBlock, (3, 4, 6, 3), 1, 64),
+    "resnet50": (Bottleneck, (3, 4, 6, 3), 1, 64),
+    "resnet101": (Bottleneck, (3, 4, 23, 3), 1, 64),
+    "resnet152": (Bottleneck, (3, 8, 36, 3), 1, 64),
+    # grouped / wide variants (reference resnet.py:287-346; same layer
+    # naming, so reference checkpoints import weight-for-weight)
+    "resnext50_32x4d": (Bottleneck, (3, 4, 6, 3), 32, 4),
+    "resnext101_32x8d": (Bottleneck, (3, 4, 23, 3), 32, 8),
+    "wide_resnet50_2": (Bottleneck, (3, 4, 6, 3), 1, 128),
+    "wide_resnet101_2": (Bottleneck, (3, 4, 23, 3), 1, 128),
 }
 
 
 def resnet_feature_channels(arch: str) -> Tuple[int, int]:
     """(low_level, out) channel counts."""
-    block, _ = _ARCHS[arch]
+    block = _ARCHS[arch][0]
     return 64 * block.expansion, 512 * block.expansion
 
 
@@ -144,7 +160,7 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> dict:
-        block, layer_sizes = _ARCHS[self.arch]
+        block, layer_sizes, groups, base_width = _ARCHS[self.arch]
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
 
         # 7x7/s2 stem evaluated space-to-depth packed: a stride-2 conv on a
@@ -178,7 +194,13 @@ class ResNet(nn.Module):
                     stride != 1 or x.shape[-1] != planes * block.expansion
                 )
                 fused_kw = (
-                    {"fused_mode": self.fused_mode} if block is Bottleneck else {}
+                    {
+                        "fused_mode": self.fused_mode,
+                        "groups": groups,
+                        "base_width": base_width,
+                    }
+                    if block is Bottleneck
+                    else {}
                 )
                 x = block(
                     planes=planes,

@@ -54,6 +54,26 @@ def test_other_backbone_channels(backbone, low_ch, out_ch):
     assert logits.shape == (1, 64, 64, 2)
 
 
+@pytest.mark.parametrize("arch", ["resnext50_32x4d", "wide_resnet50_2"])
+def test_grouped_wide_resnet_shapes(arch):
+    """torchvision Bottleneck width semantics: resnext50_32x4d's layer1
+    3x3s are 128-wide 32-grouped, wide_resnet50_2's are 128-wide dense;
+    both keep the standard 256/2048 stage outputs."""
+    bb = ResNet(
+        arch=arch, replace_stride_with_dilation=(False, False, True),
+        dtype=jnp.float32,
+    )
+    x = jnp.zeros((1, 64, 64, 3))
+    feats, variables, _ = _init_and_run(bb, x)
+    assert feats["low_level"].shape == (1, 16, 16, 256)
+    assert feats["out"].shape == (1, 4, 4, 2048)
+    k2 = variables["params"]["layer1_0"]["conv2"]["conv"]["kernel"]
+    if arch == "resnext50_32x4d":
+        assert k2.shape == (3, 3, 4, 128)  # 32 groups: Cin/groups = 4
+    else:
+        assert k2.shape == (3, 3, 128, 128)  # wide: dense 128
+
+
 @pytest.mark.parametrize("name", ["deeplabv3plus", "deeplabv3"])
 def test_head_variants_full_res_logits(name):
     cfg = ModelConfig(

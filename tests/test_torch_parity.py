@@ -175,3 +175,50 @@ def test_predictor_accepts_pth_checkpoint(ref_network, tmp_path):
     ref_pred = logits.argmax(1)[0].numpy()
     agreement = (products["mask"] == ref_pred).mean()
     assert agreement > 0.999  # identical up to float tie-breaks
+
+
+@pytest.mark.parametrize("arch", ["resnext50_32x4d", "wide_resnet50_2"])
+def test_grouped_wide_resnet_logit_parity(ref_network, arch):
+    """Grouped (resnext) and wide ResNet variants: full-model logit parity.
+
+    The reference defines these constructors (network/backbone/resnet.py:
+    287-346) but its public factory gate (`backbone.startswith('resnet')`,
+    modeling.py:59) makes them unreachable — `_segm_resnet` itself accepts
+    any constructor name via `resnet.__dict__` (modeling.py:21), which is
+    the behavior pinned here."""
+    torch, ref_modeling = ref_network
+    import jax
+    import jax.numpy as jnp
+
+    from iswm_tpu.compat.torch_import import import_torch_state_dict
+    from iswm_tpu.config import ModelConfig
+    from iswm_tpu.models import build_model
+
+    torch.manual_seed(0)
+    ref_model = ref_modeling._segm_resnet(
+        "deeplabv3plus", arch, num_classes=2, output_stride=16,
+        pretrained_backbone=False,
+    )
+    ref_model.eval()
+
+    x = np.random.default_rng(0).normal(size=(1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ref_model(torch.from_numpy(x)).numpy()
+
+    params, stats = import_torch_state_dict(
+        ref_model.state_dict(), backbone=arch, head="deeplabv3plus"
+    )
+    model = build_model(
+        ModelConfig(backbone=arch, output_stride=16, compute_dtype="float32")
+    )
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    ours = model.apply(
+        {
+            "params": jax.tree.map(jnp.asarray, params),
+            "batch_stats": jax.tree.map(jnp.asarray, stats),
+        },
+        x_nhwc,
+        train=False,
+    )
+    ours_nchw = np.transpose(np.asarray(ours), (0, 3, 1, 2))
+    np.testing.assert_allclose(ours_nchw, ref_logits, atol=2e-4, rtol=1e-3)
