@@ -363,3 +363,39 @@ def test_int8_exec_xla_engine_serialize_roundtrip(small_model):
 
     out = np.asarray(deserialize(blob)(x))
     np.testing.assert_array_equal(out, live)
+
+
+def test_int8_exec_xla_grouped_backbone():
+    """Grouped-conv zoo member (resnext50_32x4d): the int8 serving router
+    must skip every grouped 3x3 (feature_group_count gate — a per-tensor
+    dense int8 matmul would be numerically wrong for a grouped
+    contraction) while still routing the dense 1x1s, and the variant stays
+    in mask agreement with f32."""
+    from iswm_tpu.infer.quantization import (
+        calibrate_conv_inputs,
+        make_int8_exec_fn,
+        make_variant_fn,
+    )
+
+    cfg = ModelConfig(backbone="resnext50_32x4d", compute_dtype="float32")
+    model = build_model(cfg)
+    x0 = jnp.zeros((1, 32, 32, 3))
+    variables = model.init({"params": jax.random.key(0)}, x0, train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    rng = np.random.default_rng(29)
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
+    conv_scales = calibrate_conv_inputs(model, params, batch_stats, [x],
+                                        wide=True)
+    fn = make_int8_exec_fn(model, batch_stats, params, conv_scales,
+                           backend="xla")
+    logits_q = np.asarray(fn(x))
+    routed = set(fn.routed_sites)
+    assert routed, "no conv routed on resnext"
+    # grouped 3x3s (backbone layerN_M/conv2) must NOT be int8-routed
+    grouped = [k for k in routed if "/conv2/" in k and "backbone" in k]
+    assert not grouped, f"grouped convs wrongly routed: {grouped}"
+    ref = make_variant_fn(model, batch_stats, params, "f32")
+    logits_f = np.asarray(ref(x))
+    agree = float((logits_q.argmax(-1) == logits_f.argmax(-1)).mean())
+    assert agree > 0.95, f"grouped-backbone int8 mask agreement {agree}"
