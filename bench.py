@@ -224,6 +224,17 @@ def main() -> int:
             f"(deeplabv3plus_{args.backbone} os{args.output_stride} "
             f"{'int8fwd>=' + str(args.int8_training) if args.int8_training else 'bf16'})"
         ),
+        # record the full int8-training lever configuration so sweep rows
+        # (scripts/int8_train_bench.sh) stay distinguishable in the JSON
+        **(
+            {
+                "int8_training_gate": args.int8_training,
+                "int8_scale_mode": args.int8_scale_mode,
+                "int8_bwd": bool(args.int8_bwd),
+            }
+            if args.int8_training
+            else {}
+        ),
         "value": round(train_tps, 2),
         "unit": "tiles/sec/chip",
         "vs_baseline": round(train_tps / A100_TRAIN_TILES_PER_SEC, 3),

@@ -116,9 +116,12 @@ class Predictor:
             tile = scene[ty : ty + t, tx : tx + t]
             if tile.shape[0] == t and tile.shape[1] == t:
                 tiles.append(jnp.asarray(tile, jnp.float32)[None])
-        if not tiles:  # scene smaller than a tile: pad one
-            pad_h, pad_w = t - h, t - w
-            tiles = [jnp.pad(jnp.asarray(scene, jnp.float32),
+        if not tiles:  # scene smaller than a tile in SOME dim: crop + pad
+            # max(0, ...) both ways — a 256x1024 scene must crop the long
+            # axis to the tile and pad only the short one (negative pad
+            # widths raise in jnp.pad)
+            pad_h, pad_w = max(0, t - h), max(0, t - w)
+            tiles = [jnp.pad(jnp.asarray(scene[:t, :t], jnp.float32),
                              ((0, pad_h), (0, pad_w), (0, 0)))[None]]
         conv_scales = calibrate_conv_inputs(
             self.model, self.params, self.batch_stats, tiles, wide=True

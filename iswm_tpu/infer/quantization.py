@@ -315,11 +315,17 @@ def conv_scales_from_quant(quant: Any) -> Dict[str, float]:
     out: Dict[str, float] = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(quant)[0]:
         keys = tuple(getattr(p, "key", str(p)) for p in path)
-        if keys and keys[-1] == "x_amax":
-            amax = float(np.asarray(leaf))
-            out["/".join(keys[:-1]) + "/conv"] = (
-                amax / 127.0 if amax > 0 else 1.0
-            )
+        if not keys:
+            continue
+        amax = float(np.asarray(leaf))
+        scale = amax / 127.0 if amax > 0 else 1.0
+        if keys[-1] == "x_amax":
+            out["/".join(keys[:-1]) + "/conv"] = scale
+        elif keys[-1].startswith("x_amax_p"):
+            # ConcatConvBN part amaxes (models/layers.py x_amax_p{i}) map
+            # to the serving interceptor's per-part keys "<site>#p{i}",
+            # keyed at the ConcatConvBN module path (no "/conv" suffix)
+            out["/".join(keys[:-1]) + "#p" + keys[-1][len("x_amax_p"):]] = scale
     return out
 
 
@@ -340,7 +346,7 @@ def make_int8_exec_fn(
     (ops/int8_xla: lax.conv with int8 operands, lowered by XLA at the 2×
     int8 MXU rate — BASELINE.md "int8 via XLA").  ``wide`` (default: True
     for the xla backend) extends eligibility to every dense conv with
-    >=128 input channels (3x3s, strided, dilated); calibrate with the same
+    >=64 input channels (3x3s, strided, dilated); calibrate with the same
     ``wide`` flag."""
     import flax.linen as nn
 

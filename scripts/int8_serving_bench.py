@@ -9,7 +9,7 @@ variants of infer/quantization.py:
   int8_exec      — Pallas int8 1x1 convs (r2: ≈bf16 rate, kept as the
                    measured negative)
   int8_exec_xla  — XLA int8 convs, wide coverage (every dense conv with
-                   >=128 input channels incl. 3x3/strided/dilated)
+                   >=64 input channels incl. 3x3/strided/dilated)
 
 Timing: bench.py methodology — N dispatches ending in a 1-element host
 fetch, amortizing the ~36 ms tunnel round trip; mask agreement vs bf16 is

@@ -13,7 +13,18 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 LOG=/tmp/int8_train_bench.log
 run() {
   echo "=== $* ===" | tee -a "$LOG"
-  timeout 5400 python bench.py "$@" 2>&1 | tail -4 | tee -a "$LOG"
+  # Generous bound (compiles are server-side and slow through the tunnel).
+  # On timeout ABORT the whole sweep: per CLAUDE.md, killing a timed-out
+  # client leaves its compile burning in the one-at-a-time server queue,
+  # so any subsequent run would hang or measure inflated times — a partial
+  # honest log beats a complete corrupted one.
+  timeout 7200 python bench.py "$@" 2>&1 | tail -4 | tee -a "$LOG"
+  rc=${PIPESTATUS[0]}
+  if [ "$rc" -eq 124 ]; then
+    echo "TIMEOUT ($*) — aborting sweep; wait out the server-side compile" \
+      | tee -a "$LOG"
+    exit 124
+  fi
 }
 date | tee -a "$LOG"
 run                                                        # bf16 control

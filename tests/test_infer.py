@@ -279,3 +279,25 @@ def test_tile_engine_mesh_with_int8_variant():
     out2 = np.asarray(multi.infer_scene(scene))
     assert out1.shape == out2.shape == (72, 64, 2)
     np.testing.assert_allclose(out1, out2, rtol=1e-4, atol=1e-4)
+
+
+def test_predictor_int8_calibration_narrow_scene():
+    """Scene smaller than the tile in ONE dimension (e.g. a 24x64 strip):
+    the calibration fallback must crop the long axis and pad only the
+    short one (a negative pad width raises in jnp.pad)."""
+    from iswm_tpu.config import Config
+    from iswm_tpu.infer import Predictor
+
+    cfg = Config()
+    cfg.model.backbone = "resnet18"
+    cfg.model.compute_dtype = "float32"
+    cfg.predict.tile_size = 32
+    cfg.predict.tile_overlap = 8
+    cfg.predict.tile_batch = 2
+    cfg.predict.serving_variant = "int8_exec_xla"
+
+    img = np.random.default_rng(7).integers(0, 255, (24, 64, 3), dtype=np.uint8)
+    p = Predictor(cfg, ckpt_path=None)
+    got = p.predict_image(img)  # must calibrate without raising
+    assert not p._needs_calibration
+    assert got["mask"].shape == (24, 64)

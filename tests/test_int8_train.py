@@ -212,7 +212,16 @@ def test_conv_scales_from_quant_serves_int8_exec():
         state = create_train_state(qat_model, tx, jax.random.key(0), x)
         qat_scales = conv_scales_from_quant(state.quant)
         assert qat_scales, "QAT build must yield per-conv scales"
-        assert all(k.endswith("/conv") for k in qat_scales)
+        import re
+
+        assert all(
+            k.endswith("/conv") or re.search(r"#p\d+$", k) for k in qat_scales
+        )
+        # ConcatConvBN (decoder cls0) part amaxes must map to the serving
+        # interceptor's "<site>#p{i}" keys, not be dropped
+        assert any(re.search(r"#p\d+$", k) for k in qat_scales), (
+            "ConcatConvBN x_amax_p{i} entries missing from the serving map"
+        )
         assert all(s > 0 for s in qat_scales.values())
     finally:
         set_int8_training(False)
