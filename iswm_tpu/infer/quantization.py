@@ -199,7 +199,7 @@ def make_act_quant_fn(model, batch_stats, params, scales: Dict[str, float]) -> C
 
 
 # ------------------------------------------------------- executed int8
-def _int8_exec_eligible(module, wide: bool = False) -> bool:
+def _int8_exec_eligible(module, wide: bool = False, grouped: bool = False) -> bool:
     """int8-executable conv sites.
 
     Default (Pallas backend): 1x1 stride-1 dense convs whose channel counts
@@ -217,6 +217,11 @@ def _int8_exec_eligible(module, wide: bool = False) -> bool:
     profile at 19.5% — logs/profile/attribution_int8.txt) via per-part
     int8 convs with per-part input scales.  The interceptor still gates
     plain convs on input channels (>=64) to keep the stem in bf16.
+
+    ``grouped`` (XLA backend, opt-in): also route grouped/depthwise convs
+    (resnext 3x3s, the mobilenetv2/xception depthwise stages) — exact
+    under per-O weight scales (quantized_conv_xla docstring); a bandwidth
+    play for HBM-bound depthwise convs, unmeasured on v5e so default-off.
     """
     import flax.linen as nn
 
@@ -225,7 +230,9 @@ def _int8_exec_eligible(module, wide: bool = False) -> bool:
 
         if isinstance(module, (ConcatConvBN, ShiftedDilatedConv)):
             return True
-    if not (isinstance(module, nn.Conv) and module.feature_group_count == 1):
+    if not isinstance(module, nn.Conv):
+        return False
+    if module.feature_group_count != 1 and not (wide and grouped):
         return False
     if wide:
         return True
@@ -240,7 +247,7 @@ def _int8_exec_eligible(module, wide: bool = False) -> bool:
 
 def calibrate_conv_inputs(
     model, params, batch_stats, batches, max_batches: int = 25,
-    wide: bool = False,
+    wide: bool = False, grouped: bool = False,
 ) -> Dict[str, float]:
     """Per-conv input absmax/127 scales for the int8-executable sites.
 
@@ -255,7 +262,7 @@ def calibrate_conv_inputs(
 
     def observer(next_fn, args, kwargs, context):
         if (
-            _int8_exec_eligible(context.module, wide)
+            _int8_exec_eligible(context.module, wide, grouped)
             and context.method_name == "__call__"
             and args
         ):
@@ -333,6 +340,7 @@ def make_int8_exec_fn(
     model, batch_stats, params, conv_scales: Dict[str, float],
     backend: str = "pallas",
     wide: Optional[bool] = None,
+    grouped: bool = False,
 ) -> Callable:
     """EXECUTED int8: eligible convs run as int8 x int8 -> int32
     contractions with calibrated input scales; everything else dequantizes
@@ -371,6 +379,7 @@ def make_int8_exec_fn(
                 strides=module.strides or (1, 1),
                 padding=module.padding,
                 dilation=module.kernel_dilation or (1, 1),
+                feature_group_count=getattr(module, "feature_group_count", 1),
             )
     else:
         from ..ops.pallas.int8_matmul import quantized_conv1x1
@@ -432,7 +441,7 @@ def make_int8_exec_fn(
 
     def interceptor(next_fn, args, kwargs, context):
         if not (
-            _int8_exec_eligible(context.module, wide)
+            _int8_exec_eligible(context.module, wide, grouped)
             and context.method_name == "__call__"
             and args
         ):
@@ -491,6 +500,7 @@ def make_variant_fn(
     name: str,
     act_scales: Optional[Dict[str, float]] = None,
     conv_scales: Optional[Dict[str, float]] = None,
+    grouped: bool = False,
 ) -> Callable:
     """Build a jitted full-precision/bf16/int8 inference fn.
 
@@ -512,6 +522,7 @@ def make_variant_fn(
         return make_int8_exec_fn(
             model, batch_stats, params, conv_scales,
             backend="xla" if name.endswith("_xla") else "pallas",
+            grouped=grouped,
         )
     if name == "f32":
         use_params = cast_params(params, jnp.float32)

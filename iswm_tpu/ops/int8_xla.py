@@ -72,11 +72,19 @@ def quantized_conv_xla(
     strides=(1, 1),
     padding="VALID",
     dilation=(1, 1),
+    feature_group_count: int = 1,
 ) -> jax.Array:
-    """General dense conv with int8 operands, geometry passed through from
+    """General conv with int8 operands, geometry passed through from
     the source ``nn.Conv`` (zero padding is exact under symmetric
     quantization: 0 maps to 0).  XLA lowers this at the 2× int8 MXU rate
-    (BASELINE.md "int8 via XLA")."""
+    (BASELINE.md "int8 via XLA").
+
+    Grouped/depthwise convs (``feature_group_count > 1``) are exact under
+    the same contract: each output channel contracts only its group's
+    inputs, and the per-tensor x scale × per-O w scale factors out of the
+    group contraction identically to the dense case.  The payoff there is
+    bandwidth (int8 halves the traffic of HBM-bound depthwise convs), not
+    the MXU rate."""
     x_q = quantize_activations(x, x_scale)
     if isinstance(strides, int):
         strides = (strides, strides)
@@ -86,6 +94,7 @@ def quantized_conv_xla(
         x_q, w_q, tuple(strides), padding,
         rhs_dilation=tuple(dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=feature_group_count,
         preferred_element_type=jnp.int32,
     )
     return (

@@ -51,6 +51,10 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--backbone", default="resnet50")
     ap.add_argument("--variants", default="bf16,int8_exec,int8_exec_xla")
+    ap.add_argument("--grouped", action="store_true",
+                    help="int8_exec_xla also routes grouped/depthwise convs "
+                         "(resnext 3x3s, mobilenet/xception depthwise) — "
+                         "bandwidth play, A/B against the default")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -91,6 +95,7 @@ def main() -> int:
         conv_scales = calibrate_conv_inputs(
             model, params, batch_stats, calib,
             wide=any(v == "int8_exec_xla" for v in variants),
+            grouped=args.grouped,
         )
         print(f"calibrated {len(conv_scales)} conv sites")
 
@@ -98,7 +103,8 @@ def main() -> int:
     ref_preds = None
     for name in variants:
         fn = make_variant_fn(  # returned fn is already jitted
-            model, batch_stats, params, name, conv_scales=conv_scales
+            model, batch_stats, params, name, conv_scales=conv_scales,
+            grouped=args.grouped,
         )
         ms = time_loop(fn, x, args.steps) * 1e3
         tiles_s = args.batch / (ms * 1e-3)

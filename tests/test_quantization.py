@@ -399,3 +399,74 @@ def test_int8_exec_xla_grouped_backbone():
     logits_f = np.asarray(ref(x))
     agree = float((logits_q.argmax(-1) == logits_f.argmax(-1)).mean())
     assert agree > 0.95, f"grouped-backbone int8 mask agreement {agree}"
+
+
+def test_quantized_conv_xla_grouped_exact_on_grid():
+    """feature_group_count>1 under the symmetric contract: with planted
+    amax=127 operands (all scales exactly 1) the int8 grouped conv must
+    reproduce the f32 grouped conv bit-exactly — per-O weight scales
+    factor out of a group contraction identically to the dense case."""
+    from iswm_tpu.ops.int8_xla import quantized_conv_xla
+
+    rng = np.random.default_rng(41)
+
+    def mk(shape):
+        a = rng.integers(-126, 127, shape).astype(np.float32)
+        a.flat[0] = 127.0
+        return a
+
+    for groups, cin, cout in ((4, 16, 32), (16, 16, 16)):  # grouped, depthwise
+        x = mk((2, 10, 9, cin))
+        w = mk((3, 3, cin // groups, cout))
+        w[0, 0, 0, :] = 127.0  # per-O scales exactly 1
+        ref = jax.lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(w), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+        )
+        got = quantized_conv_xla(
+            jnp.asarray(x), jnp.asarray(w, np.int8),
+            jnp.ones((1, 1, 1, cout), jnp.float32), 1.0,
+            strides=(1, 1), padding=[(1, 1), (1, 1)], dilation=(1, 1),
+            feature_group_count=groups,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_int8_exec_xla_grouped_routing_mobilenet():
+    """grouped=True (opt-in) routes the depthwise stages of mobilenetv2
+    through int8 convs; default leaves them bf16.  Mask agreement with f32
+    holds for both."""
+    from iswm_tpu.infer.quantization import (
+        calibrate_conv_inputs,
+        make_int8_exec_fn,
+        make_variant_fn,
+    )
+
+    cfg = ModelConfig(backbone="mobilenetv2", compute_dtype="float32")
+    model = build_model(cfg)
+    x0 = jnp.zeros((1, 32, 32, 3))
+    variables = model.init({"params": jax.random.key(0)}, x0, train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    rng = np.random.default_rng(43)
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
+    scales_g = calibrate_conv_inputs(model, params, batch_stats, [x],
+                                     wide=True, grouped=True)
+    scales_d = calibrate_conv_inputs(model, params, batch_stats, [x],
+                                     wide=True)
+    assert set(scales_d) < set(scales_g), "grouped must add sites"
+
+    fn_d = make_int8_exec_fn(model, batch_stats, params, scales_d,
+                             backend="xla")
+    fn_g = make_int8_exec_fn(model, batch_stats, params, scales_g,
+                             backend="xla", grouped=True)
+    ld, lg = np.asarray(fn_d(x)), np.asarray(fn_g(x))
+    extra = set(fn_g.routed_sites) - set(fn_d.routed_sites)
+    assert extra, "grouped=True must route additional (depthwise) convs"
+
+    ref = make_variant_fn(model, batch_stats, params, "f32")
+    lf = np.asarray(ref(x))
+    for name, lq in (("default", ld), ("grouped", lg)):
+        agree = float((lq.argmax(-1) == lf.argmax(-1)).mean())
+        assert agree > 0.95, f"{name} mask agreement {agree}"
