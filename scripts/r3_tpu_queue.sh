@@ -1,0 +1,30 @@
+#!/bin/bash
+# Round-3 remaining TPU measurements, run AFTER scripts/int8_train_bench.sh.
+# ONE TPU job at a time; keep the host idle during timing runs (CLAUDE.md).
+# Results append to /tmp/r3_tpu_queue.log.
+set -u
+export PYTHONPATH=/root/repo:/root/.axon_site
+LOG=/tmp/r3_tpu_queue.log
+run() {
+  echo "=== $* ===" | tee -a "$LOG"
+  timeout 7200 "$@" 2>&1 | tail -6 | tee -a "$LOG"
+  rc=${PIPESTATUS[0]}
+  if [ "$rc" -eq 124 ]; then
+    echo "TIMEOUT ($*) — aborting queue (poisoned compile queue)" | tee -a "$LOG"
+    exit 124
+  fi
+}
+date | tee -a "$LOG"
+# 1. grouped/depthwise int8 A/B (the new lever): flagship + depthwise zoo
+run python scripts/int8_serving_bench.py --variants bf16,int8_exec_xla
+run python scripts/int8_serving_bench.py --variants bf16,int8_exec_xla --grouped
+run python scripts/int8_serving_bench.py --backbone mobilenetv2 --size 200 --batch 32 --variants bf16,int8_exec_xla
+run python scripts/int8_serving_bench.py --backbone mobilenetv2 --size 200 --batch 32 --variants bf16,int8_exec_xla --grouped
+run python scripts/int8_serving_bench.py --backbone xception --size 200 --batch 32 --variants bf16,int8_exec_xla
+run python scripts/int8_serving_bench.py --backbone xception --size 200 --batch 32 --variants bf16,int8_exec_xla --grouped
+# 2. grouped/wide zoo rates at the deploy tile
+run python bench.py --backbone resnext50_32x4d --size 200 --batch 32 --steps 50
+run python bench.py --backbone wide_resnet50_2 --size 200 --batch 32 --steps 50
+# 3. headline parity check (BENCH_r03 >= BENCH_r02)
+run python bench.py
+date | tee -a "$LOG"
