@@ -52,7 +52,10 @@ def _build_flax(backbone="resnet50", head="deeplabv3plus"):
     return model, v["params"], v["batch_stats"]
 
 
-@pytest.mark.parametrize("backbone", ["resnet18", "xception", "mobilenetv2"])
+@pytest.mark.parametrize(
+    "backbone",
+    ["resnet18", "xception", "mobilenetv2", "resnext50_32x4d"],
+)
 def test_export_import_roundtrip(backbone):
     import jax
 
