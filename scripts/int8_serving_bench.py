@@ -50,6 +50,7 @@ def main() -> int:
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--backbone", default="resnet50")
+    ap.add_argument("--output_stride", type=int, default=16, choices=(8, 16))
     ap.add_argument("--variants", default="bf16,int8_exec,int8_exec_xla")
     ap.add_argument("--grouped", action="store_true",
                     help="int8_exec_xla also routes grouped/depthwise convs "
@@ -73,7 +74,8 @@ def main() -> int:
     from iswm_tpu.models import build_model
 
     print(f"backend: {jax.default_backend()}")
-    cfg = ModelConfig(backbone=args.backbone, compute_dtype="bfloat16")
+    cfg = ModelConfig(backbone=args.backbone, compute_dtype="bfloat16",
+                      output_stride=args.output_stride)
     model = build_model(cfg)
     probe = jnp.zeros((1, args.size, args.size, 3), jnp.bfloat16)
     variables = jax.jit(

@@ -22,6 +22,9 @@ run python scripts/int8_serving_bench.py --backbone mobilenetv2 --size 200 --bat
 run python scripts/int8_serving_bench.py --backbone mobilenetv2 --size 200 --batch 32 --variants bf16,int8_exec_xla --grouped
 run python scripts/int8_serving_bench.py --backbone xception --size 200 --batch 32 --variants bf16,int8_exec_xla
 run python scripts/int8_serving_bench.py --backbone xception --size 200 --batch 32 --variants bf16,int8_exec_xla --grouped
+# 1b. OS=8 (full-rate dilated backbone, 4x the ASPP FLOPs): int8 leverage
+#     at the expensive config; batch 4 per the bf16 OS=8 row in BASELINE.md
+run python scripts/int8_serving_bench.py --output_stride 8 --batch 4 --variants bf16,int8_exec_xla
 # 2. grouped/wide zoo rates at the deploy tile
 run python bench.py --backbone resnext50_32x4d --size 200 --batch 32 --steps 50
 run python bench.py --backbone wide_resnet50_2 --size 200 --batch 32 --steps 50
