@@ -42,6 +42,10 @@ def get_argparser() -> argparse.ArgumentParser:
                    choices=["bf16", "int8", "int8_exec_xla"],
                    help="serving precision (int8_exec_xla: XLA int8 convs, "
                         "measured faster than bf16 on v5e)")
+    p.add_argument("--int8_grouped", action="store_true",
+                   help="with int8_exec_xla: also route grouped/depthwise "
+                        "convs (resnext/mobilenet/xception) — default off "
+                        "until measured (BASELINE.md)")
     p.add_argument("--tile_size", type=int, default=None)
     p.add_argument("--tile_overlap", type=int, default=None)
     p.add_argument("--tile_batch", type=int, default=None)
@@ -76,7 +80,8 @@ def build_config(args: argparse.Namespace) -> Config:
         if v is not None:
             setattr(cfg.predict, flag, v)
     for flag in ("use_argmax", "save_confidence", "save_binary",
-                 "enable_wave_processing", "save_feature_maps"):
+                 "enable_wave_processing", "save_feature_maps",
+                 "int8_grouped"):
         if getattr(args, flag):
             setattr(cfg.predict, flag, True)
     return cfg.validate()

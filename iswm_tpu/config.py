@@ -228,6 +228,11 @@ class PredictConfig:
     # BASELINE.md "int8 via XLA"; calibrates activation scales on the
     # first scene's tiles)
     serving_variant: str = "bf16"
+    # With int8_exec_xla: also route grouped/depthwise convs (resnext 3x3s,
+    # mobilenetv2/xception depthwise stages) — exact under per-O weight
+    # scales; a bandwidth play for HBM-bound depthwise convs.  Default off
+    # until measured on v5e (scripts/int8_serving_bench.py --grouped A/B).
+    int8_grouped: bool = False
 
 
 @dataclass

@@ -124,7 +124,8 @@ class Predictor:
             tiles = [jnp.pad(jnp.asarray(scene[:t, :t], jnp.float32),
                              ((0, pad_h), (0, pad_w), (0, 0)))[None]]
         conv_scales = calibrate_conv_inputs(
-            self.model, self.params, self.batch_stats, tiles, wide=True
+            self.model, self.params, self.batch_stats, tiles, wide=True,
+            grouped=self.cfg.predict.int8_grouped,
         )
         if self.quant:
             # QAT-learned running amaxes override the few-tile calibration
@@ -135,8 +136,9 @@ class Predictor:
         fn = make_variant_fn(
             self.model, self.batch_stats, self.params,
             self.cfg.predict.serving_variant, conv_scales=conv_scales,
+            grouped=self.cfg.predict.int8_grouped,
         )
-        self.engine = self._make_engine(lambda imgs: fn(imgs))
+        self.engine = self._make_engine(fn)
         self._needs_calibration = False
 
     # ------------------------------------------------------------- single

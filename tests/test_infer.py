@@ -245,6 +245,40 @@ def test_predictor_int8_serving_variant(tmp_path):
         Predictor(make_cfg("fp4"), ckpt_path=None)
 
 
+def test_predictor_int8_grouped_knob():
+    """PredictConfig.int8_grouped=True routes mobilenetv2's depthwise
+    stages too (the opt-in bandwidth play); masks stay agreeing with bf16.
+    Mirrors tests/test_quantization.py's routing test through the full
+    Predictor product path (config knob -> calibration -> engine swap)."""
+    from iswm_tpu.config import Config
+    from iswm_tpu.infer import Predictor
+
+    def make_cfg(variant, grouped=False):
+        cfg = Config()
+        cfg.model.backbone = "mobilenetv2"
+        cfg.model.compute_dtype = "float32"
+        cfg.predict.tile_size = 32
+        cfg.predict.tile_overlap = 8
+        cfg.predict.tile_batch = 2
+        cfg.predict.serving_variant = variant
+        cfg.predict.int8_grouped = grouped
+        return cfg
+
+    img = np.random.default_rng(5).integers(0, 255, (40, 40, 3), dtype=np.uint8)
+    ref = Predictor(make_cfg("bf16"), ckpt_path=None).predict_image(img)
+
+    p = Predictor(make_cfg("int8_exec_xla", grouped=True), ckpt_path=None)
+    got = p.predict_image(img)
+    agree = float((got["mask"] == ref["mask"]).mean())
+    assert agree > 0.9, f"grouped int8 serving mask agreement {agree}"
+    # the engine's variant fn must have routed depthwise (grouped) sites
+    # (mobilenetv2 names them "depthwise", models/mobilenetv2.py)
+    routed = set(getattr(p.engine.model_fn, "routed_sites", []))
+    assert any("depthwise" in s for s in routed), (
+        f"no depthwise site routed: {sorted(routed)[:8]}"
+    )
+
+
 def test_tile_engine_mesh_with_int8_variant():
     """int8_exec_xla serving composes with scene parallelism: the variant
     fn (inner jit) inlines into the mesh-sharded tile program and matches
