@@ -209,6 +209,34 @@ def main() -> int:
         except Exception as e:  # pragma: no cover - keep the bench robust
             print(f"int8 inference row skipped: {e}", file=sys.stderr)
 
+    # --- int8-training throughput (the opt-in train speed play;
+    # BASELINE.md "int8 fwd+bwd TRAINING": dgrad/wgrad of the >=256-channel
+    # convs on the int8 MXU path, measured +9.3% over bf16 on v5e) —
+    # best-effort extra row on the default config, never fails the bench.
+    int8_train_tps = None
+    if (
+        not args.smoke
+        and not args.int8_training
+        and args.backbone == "resnet50"
+        and args.output_stride == 16
+    ):
+        try:
+            q_state, q_train_step, _, q_images, q_labels, q_rng = build(
+                batch, args.size, args.backbone, args.output_stride,
+                int8_training=256, int8_bwd=True,
+            )
+            q_state, qm = q_train_step(q_state, q_images, q_labels, q_rng)
+            jax.block_until_ready(qm["loss"])
+
+            def int8_train_once():
+                nonlocal q_state
+                q_state, qm = q_train_step(q_state, q_images, q_labels, q_rng)
+                return qm["loss"]
+
+            int8_train_tps = batch / time_loop(int8_train_once, args.steps)
+        except Exception as e:  # pragma: no cover - keep the bench robust
+            print(f"int8 train row skipped: {e}", file=sys.stderr)
+
     # plausibility: 125.4 GFLOP fwd per 512x512 resnet50+v3+ tile at OS=16
     # (measured: 3009 GFLOP/step at batch 8 from the xplane trace flops
     # counters, logs/profile/attribution.txt), ~3x for fwd+bwd+update.
@@ -242,6 +270,14 @@ def main() -> int:
         **(
             {"int8_infer_tiles_per_sec": round(int8_infer_tps, 2)}
             if int8_infer_tps
+            else {}
+        ),
+        # the opt-in training mode (--int8_training 256 --int8_bwd):
+        # bf16 stays the headline `value` (parity default); this row
+        # records the measured throughput lever (BASELINE.md)
+        **(
+            {"int8_train_tiles_per_sec": round(int8_train_tps, 2)}
+            if int8_train_tps
             else {}
         ),
         "batch": batch,

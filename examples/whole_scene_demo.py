@@ -28,6 +28,11 @@ def main() -> int:
                     help="steady-state timing repetitions (median reported)")
     ap.add_argument("--no_products", action="store_true",
                     help="skip writing PNGs (pure throughput run)")
+    ap.add_argument("--device_clock", action="store_true",
+                    help="also report device-side s/scene: time the tile "
+                         "engine's on-device program ending in a 1-element "
+                         "probe, excluding the full-probs D2H fetch (a "
+                         "tunnel artifact on this box, see BASELINE.md)")
     ap.add_argument("--serving_variant", default=None,
                     choices=("bf16", "int8", "int8_exec", "int8_exec_xla"),
                     help="serving precision (int8_exec_xla = executed int8 "
@@ -87,6 +92,26 @@ def main() -> int:
         f"scene {h}x{w} -> {dt:.2f}s steady-state "
         f"({h * w / dt / 1e6:.1f} MPix/s; first call incl. compile {dt_cold:.1f}s)"
     )
+    if args.device_clock:
+        # device-side clock: the engine program (normalize is outside it,
+        # matching the BASELINE.md "device-side" rows), honest 1-element
+        # probe instead of the full probs fetch
+        from iswm_tpu.data.transforms import val_transform_batch
+        import jax.numpy as jnp
+
+        x = val_transform_batch(jnp.asarray(scene)[None])[0]
+        logits = predictor.engine.infer_scene(x)
+        float(logits[0, 0, 0])  # warm (already compiled by predict_image)
+        dev_times = []
+        for _ in range(max(1, args.reps)):
+            t0 = time.time()
+            logits = predictor.engine.infer_scene(x)
+            float(logits[0, 0, 0])
+            dev_times.append(time.time() - t0)
+        ddt = sorted(dev_times)[len(dev_times) // 2]
+        print(
+            f"device-side: {ddt:.3f}s/scene ({h * w / ddt / 1e6:.1f} MPix/s)"
+        )
     try:  # device memory behavior (peak bytes), where the backend reports it
         import jax
 
@@ -98,6 +123,8 @@ def main() -> int:
     except Exception:
         pass
 
+    if args.no_products:
+        return 0
     os.makedirs(args.out, exist_ok=True)
     Image.fromarray(scene).save(os.path.join(args.out, "scene.png"))
     Image.fromarray(gt * 255).save(os.path.join(args.out, "gt.png"))
