@@ -76,7 +76,13 @@ def build_engine(
 
 
 def serialize(model_fn: Callable, input_shape: Tuple[int, ...], dtype=jnp.bfloat16) -> bytes:
-    """Portable engine artifact (StableHLO) — the .trt-file analogue."""
+    """Portable engine artifact (StableHLO) — the .trt-file analogue.
+
+    Deliberately SELF-CONTAINED: ``model_fn``'s closed-over weights are
+    baked into the artifact as constants (TRT-engine semantics — the blob
+    alone serves).  This is the opposite trade from the serving fns'
+    weights-as-arguments protocol (infer/quantization.py), so artifacts
+    for very large models are weight-sized; that is the point."""
     from jax import export as jax_export
 
     exported = jax_export.export(jax.jit(model_fn))(

@@ -71,12 +71,19 @@ class Predictor:
             self.batch_stats = state.batch_stats
             self.quant = getattr(state, "quant", {}) or {}
 
-        def model_fn(images):  # [N,T,T,C] normalized -> [N,T,T,K]
+        def _apply(images, params, stats):  # [N,T,T,C] normalized
             return self.model.apply(
-                {"params": self.params, "batch_stats": self.batch_stats},
+                {"params": params, "batch_stats": stats},
                 images.astype(cfg.model.compute_dtype),
                 train=False,
             ).astype(jnp.float32)
+
+        def model_fn(images):  # [N,T,T,C] normalized -> [N,T,T,K]
+            return _apply(images, self.params, self.batch_stats)
+
+        # weights-as-arguments protocol for TileEngine (infer/tiling.py)
+        model_fn.inner = _apply
+        model_fn.bound_args = (self.params, self.batch_stats)
 
         variant = cfg.predict.serving_variant
         self._needs_calibration = False

@@ -145,13 +145,14 @@ def calibrate_activations(
         return out
 
     # jitted observer pass: one compiled program per batch shape instead of
-    # eager per-op dispatches (minutes-slow on remote backends)
+    # eager per-op dispatches (minutes-slow on remote backends); the trees
+    # are jit arguments so the program carries topology only
     @jax.jit
-    def observe(images):
+    def observe(images, params_t, stats_t):
         site_vals.clear()
         with nn.intercept_methods(observer):
             model.apply(
-                {"params": params, "batch_stats": batch_stats}, images,
+                {"params": params_t, "batch_stats": stats_t}, images,
                 train=False,
             )
         return dict(site_vals)
@@ -160,7 +161,8 @@ def calibrate_activations(
     for i, images in enumerate(batches):
         if i >= max_batches:
             break
-        for key, v in jax.device_get(observe(images)).items():
+        obs = jax.device_get(observe(images, params, batch_stats))
+        for key, v in obs.items():
             absmax[key] = max(absmax.get(key, 0.0), float(v))
     return {k: (v / 127.0 if v > 0 else 1.0) for k, v in absmax.items()}
 
@@ -185,16 +187,24 @@ def make_act_quant_fn(model, batch_stats, params, scales: Dict[str, float]) -> C
                 )
         return out
 
+    # Weight trees are jit ARGUMENTS, not closure constants: closed-over
+    # arrays embed into the lowered program, which blows the remote-compile
+    # request-body limit on wide models and duplicates the weights in HBM.
     @jax.jit
-    def fn(images):
-        deq = dequantize_params(q, s, jnp.bfloat16)
+    def _apply(images, q_t, s_t, stats):
+        deq = dequantize_params(q_t, s_t, jnp.bfloat16)
         with nn.intercept_methods(quantizer):
             logits = model.apply(
-                {"params": deq, "batch_stats": batch_stats}, images, train=False
+                {"params": deq, "batch_stats": stats}, images, train=False
             )
         return logits.astype(jnp.float32)
 
+    def fn(images):
+        return _apply(images, q, s, batch_stats)
+
     fn.stored_params = q
+    fn.inner = _apply  # (images, *bound_args) form for outer-jit callers
+    fn.bound_args = (q, s, batch_stats)
     return fn
 
 
@@ -283,11 +293,11 @@ def calibrate_conv_inputs(
         return next_fn(*args, **kwargs)
 
     @jax.jit
-    def observe(images):
+    def observe(images, params_t, stats_t):
         site_vals.clear()
         with nn.intercept_methods(observer):
             model.apply(
-                {"params": params, "batch_stats": batch_stats}, images,
+                {"params": params_t, "batch_stats": stats_t}, images,
                 train=False,
             )
         return dict(site_vals)
@@ -296,7 +306,8 @@ def calibrate_conv_inputs(
     for i, images in enumerate(batches):
         if i >= max_batches:
             break
-        for key, v in jax.device_get(observe(images)).items():
+        obs = jax.device_get(observe(images, params, batch_stats))
+        for key, v in obs.items():
             absmax[key] = max(absmax.get(key, 0.0), float(v))
     return {k: (v / 127.0 if v > 0 else 1.0) for k, v in absmax.items()}
 
@@ -400,95 +411,113 @@ def make_int8_exec_fn(
             node = node[p]
         return node
 
-    def run_concat_conv_bn(parts, module, path, key):
-        """ConcatConvBN replacement: per-part int8 convs (per-part input
-        scale, shared per-O weight scale from the canonical concatenated
-        kernel) summed in f32, then inference BatchNorm(+ReLU) from the
-        running stats — the whole module, since BN lives inside it."""
-        from ..models.layers import torch_conv_padding
-
-        node_q = _lookup(q, path)
-        w_q = node_q["conv"]["kernel"]
-        if w_q.dtype != jnp.int8:
-            return None
-        w_scale = _lookup(s, path)["conv"]["kernel"]
-        pad = torch_conv_padding(module.kernel_size)
-        acc = None
-        off = 0
-        for i, p in enumerate(parts):
-            c = p.shape[-1]
-            x_scale = conv_scales.get(f"{key}#p{i}")
-            if x_scale is None:
-                return None  # missing calibration for a part: fall back
-            kp = jax.lax.slice_in_dim(w_q, off, off + c, axis=2)
-            t = quantized_conv_xla(
-                p, kp, w_scale, x_scale,
-                strides=(1, 1), padding=[pad, pad], dilation=(1, 1),
-            )
-            acc = t if acc is None else acc + t
-            off += c
-        bn_p = _lookup(deq_template, path)["bn"]
-        bn_s = _lookup(batch_stats, path)["bn"]
-        inv = jax.lax.rsqrt(
-            bn_s["var"].astype(jnp.float32) + module.bn_epsilon
-        )
-        y = (acc - bn_s["mean"].astype(jnp.float32)) * inv * bn_p[
-            "scale"
-        ].astype(jnp.float32) + bn_p["bias"].astype(jnp.float32)
-        if module.use_relu:
-            y = jax.nn.relu(y)
-        return y.astype(parts[0].dtype)
-
-    def interceptor(next_fn, args, kwargs, context):
-        if not (
-            _int8_exec_eligible(context.module, wide, grouped)
-            and context.method_name == "__call__"
-            and args
-        ):
-            return next_fn(*args, **kwargs)
-        key = "/".join(context.module.path)
-        if isinstance(context.module, ConcatConvBN):
-            train = args[1] if len(args) > 1 else kwargs.get("train", False)
-            out = (
-                None
-                if train or backend != "xla"
-                else run_concat_conv_bn(
-                    args[0], context.module, context.module.path, key
-                )
-            )
-            if out is None:
-                return next_fn(*args, **kwargs)
-            routed.append(key)
-            return out
-        x = args[0]
-        ch_ok = x.shape[-1] >= 64 if wide else x.shape[-1] % 128 == 0
-        if x.ndim != 4 or not ch_ok or key not in conv_scales:
-            return next_fn(*args, **kwargs)
-        w_q = _lookup(q, context.module.path)["kernel"]
-        if w_q.dtype != jnp.int8 or (not wide and w_q.shape[-1] % 128):
-            return next_fn(*args, **kwargs)
-        w_scale = _lookup(s, context.module.path)["kernel"]
-        routed.append(key)
-        out = run_conv(x, w_q, w_scale, conv_scales[key], context.module)
-        if getattr(context.module, "use_bias", False):
-            # not used by ConvBN/ShiftedDilatedConv, kept for safety
-            out = out + _lookup(q, context.module.path)["bias"]
-        return out.astype(x.dtype)
-
-    deq_template = dequantize_params(q, s, jnp.bfloat16)
-
+    # The weight/stat trees are threaded through jit as ARGUMENTS (not
+    # closure constants): closed-over arrays embed into the lowered
+    # program as literals, which (a) blew the remote-compile helper's
+    # request-body limit on wide_resnet50_2 (HTTP 413, logs/r3_tpu_queue
+    # .log) and (b) duplicates the weights in HBM.  The interceptor is
+    # therefore built inside the traced function so it closes over the
+    # traced trees.
     @jax.jit
-    def fn(images):
+    def _apply(images, deq_t, stats, q_t, s_t):
+        def run_concat_conv_bn(parts, module, path, key):
+            """ConcatConvBN replacement: per-part int8 convs (per-part
+            input scale, shared per-O weight scale from the canonical
+            concatenated kernel) summed in f32, then inference
+            BatchNorm(+ReLU) from the running stats — the whole module,
+            since BN lives inside it."""
+            from ..models.layers import torch_conv_padding
+
+            node_q = _lookup(q_t, path)
+            w_q = node_q["conv"]["kernel"]
+            if w_q.dtype != jnp.int8:
+                return None
+            w_scale = _lookup(s_t, path)["conv"]["kernel"]
+            pad = torch_conv_padding(module.kernel_size)
+            acc = None
+            off = 0
+            for i, p in enumerate(parts):
+                c = p.shape[-1]
+                x_scale = conv_scales.get(f"{key}#p{i}")
+                if x_scale is None:
+                    return None  # missing calibration for a part: fall back
+                kp = jax.lax.slice_in_dim(w_q, off, off + c, axis=2)
+                t = quantized_conv_xla(
+                    p, kp, w_scale, x_scale,
+                    strides=(1, 1), padding=[pad, pad], dilation=(1, 1),
+                )
+                acc = t if acc is None else acc + t
+                off += c
+            bn_p = _lookup(deq_t, path)["bn"]
+            bn_s = _lookup(stats, path)["bn"]
+            inv = jax.lax.rsqrt(
+                bn_s["var"].astype(jnp.float32) + module.bn_epsilon
+            )
+            y = (acc - bn_s["mean"].astype(jnp.float32)) * inv * bn_p[
+                "scale"
+            ].astype(jnp.float32) + bn_p["bias"].astype(jnp.float32)
+            if module.use_relu:
+                y = jax.nn.relu(y)
+            return y.astype(parts[0].dtype)
+
+        def interceptor(next_fn, args, kwargs, context):
+            if not (
+                _int8_exec_eligible(context.module, wide, grouped)
+                and context.method_name == "__call__"
+                and args
+            ):
+                return next_fn(*args, **kwargs)
+            key = "/".join(context.module.path)
+            if isinstance(context.module, ConcatConvBN):
+                train = (
+                    args[1] if len(args) > 1 else kwargs.get("train", False)
+                )
+                out = (
+                    None
+                    if train or backend != "xla"
+                    else run_concat_conv_bn(
+                        args[0], context.module, context.module.path, key
+                    )
+                )
+                if out is None:
+                    return next_fn(*args, **kwargs)
+                routed.append(key)
+                return out
+            x = args[0]
+            ch_ok = x.shape[-1] >= 64 if wide else x.shape[-1] % 128 == 0
+            if x.ndim != 4 or not ch_ok or key not in conv_scales:
+                return next_fn(*args, **kwargs)
+            w_q = _lookup(q_t, context.module.path)["kernel"]
+            if w_q.dtype != jnp.int8 or (not wide and w_q.shape[-1] % 128):
+                return next_fn(*args, **kwargs)
+            w_scale = _lookup(s_t, context.module.path)["kernel"]
+            routed.append(key)
+            out = run_conv(x, w_q, w_scale, conv_scales[key], context.module)
+            if getattr(context.module, "use_bias", False):
+                # not used by ConvBN/ShiftedDilatedConv, kept for safety
+                out = out + _lookup(q_t, context.module.path)["bias"]
+            return out.astype(x.dtype)
+
         with nn.intercept_methods(interceptor):
             logits = model.apply(
-                {"params": deq_template, "batch_stats": batch_stats},
+                {"params": deq_t, "batch_stats": stats},
                 images,
                 train=False,
             )
         return logits.astype(jnp.float32)
 
+    # Dequantize ONCE at load (per-call dequantize measured +27% latency
+    # for the weight-only variant, BASELINE.md); the bf16 tree is a call
+    # argument, so serving latency and program size stay independent of it.
+    deq_template = dequantize_params(q, s, jnp.bfloat16)
+
+    def fn(images):
+        return _apply(images, deq_template, batch_stats, q, s)
+
     fn.stored_params = q
     fn.routed_sites = routed  # populated at trace time
+    fn.inner = _apply  # (images, *bound_args) form for outer-jit callers
+    fn.bound_args = (deq_template, batch_stats, q, s)
     return fn
 
 
@@ -511,7 +540,18 @@ def make_variant_fn(
     ``calibrate_activations``); 'int8_exec' EXECUTES the eligible 1x1
     convs as int8 Pallas matmuls (requires ``conv_scales`` from
     ``calibrate_conv_inputs``).
+
+    All variants pass the variable trees through jit as arguments rather
+    than closure constants, so the lowered program carries topology only
+    (closure-constant weights blew the remote-compile request-body limit
+    on wide models and duplicated the weights in HBM).
     """
+
+    @jax.jit
+    def _apply_variables(images, variables):
+        logits = model.apply(variables, images, train=False)
+        return logits.astype(jnp.float32)
+
     if name == "int8_act":
         if act_scales is None:
             raise ValueError("int8_act requires act_scales (run calibration)")
@@ -537,26 +577,26 @@ def make_variant_fn(
         q, s = quantize_params_int8(params)
         deq = dequantize_params(q, s, jnp.bfloat16)
 
-        @jax.jit
         def int8_fn(images):
-            logits = model.apply(
-                {"params": deq, "batch_stats": batch_stats}, images, train=False
+            return _apply_variables(
+                images, {"params": deq, "batch_stats": batch_stats}
             )
-            return logits.astype(jnp.float32)
 
         int8_fn.stored_params = q  # for size accounting
+        int8_fn.inner = _apply_variables
+        int8_fn.bound_args = ({"params": deq, "batch_stats": batch_stats},)
         return int8_fn
     else:
         raise ValueError(f"unknown variant {name!r}")
 
-    @jax.jit
     def fn(images):
-        logits = model.apply(
-            {"params": use_params, "batch_stats": batch_stats}, images, train=False
+        return _apply_variables(
+            images, {"params": use_params, "batch_stats": batch_stats}
         )
-        return logits.astype(jnp.float32)
 
     fn.stored_params = use_params
+    fn.inner = _apply_variables
+    fn.bound_args = ({"params": use_params, "batch_stats": batch_stats},)
     return fn
 
 

@@ -110,9 +110,16 @@ class TileEngine:
         origins_j = jnp.asarray(origins)
         model_fn = self.model_fn
         num_classes = self.num_classes
+        # Weights-as-arguments protocol (infer/quantization.py): a model_fn
+        # exposing ``inner``/``bound_args`` has its variable trees threaded
+        # through this jit as arguments instead of being re-embedded as
+        # program constants (closure constants blow the remote-compile
+        # request-body limit on wide models and duplicate weights in HBM).
+        inner = getattr(model_fn, "inner", None)
+        bound = tuple(getattr(model_fn, "bound_args", ()))
 
         @jax.jit
-        def run(scene: jax.Array) -> jax.Array:  # [H, W, C] normalized
+        def run(scene: jax.Array, *bound_args) -> jax.Array:  # [H, W, C]
             def extract(origin):
                 return jax.lax.dynamic_slice(
                     scene, (origin[0], origin[1], 0), (tile, tile, scene.shape[2])
@@ -120,13 +127,18 @@ class TileEngine:
 
             tiles = jax.vmap(extract)(origins_j)  # [N', T, T, C]
             tiles = tiles.reshape(-1, batch, tile, tile, scene.shape[2])
-            fn = model_fn
+            if inner is not None:
+                def base(chunk):
+                    return inner(chunk, *bound_args)
+            else:
+                base = model_fn
+            fn = base
             if tile_sharding is not None:
                 def fn(chunk):  # noqa: E306 — shard each chunk's batch
                     chunk = jax.lax.with_sharding_constraint(
                         chunk, tile_sharding
                     )
-                    return model_fn(chunk)
+                    return base(chunk)
             logits = jax.lax.map(fn, tiles)  # [chunks, B, T, T, K]
             logits = logits.reshape(-1, tile, tile, num_classes)
 
@@ -154,7 +166,13 @@ class TileEngine:
             )
             return canvas / weights
 
-        return run
+        if not bound:
+            return run
+
+        def call(scene):
+            return run(scene, *bound)
+
+        return call
 
     def infer_scene(self, scene: jax.Array) -> jax.Array:
         """[H,W,C] normalized scene -> [H,W,num_classes] blended logits."""

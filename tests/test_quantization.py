@@ -470,3 +470,22 @@ def test_int8_exec_xla_grouped_routing_mobilenet():
     for name, lq in (("default", ld), ("grouped", lg)):
         agree = float((lq.argmax(-1) == lf.argmax(-1)).mean())
         assert agree > 0.95, f"{name} mask agreement {agree}"
+
+
+def test_variant_fns_carry_no_weight_constants(small_model):
+    """The variable trees must be jit ARGUMENTS, not closure constants:
+    closed-over arrays embed into the lowered program as literals, which
+    blew the remote-compile request-body limit on wide_resnet50_2 (HTTP
+    413) and duplicated the weights in HBM.  Pin the property by bounding
+    the lowered program text of ``fn.inner`` — with the weights inlined it
+    is tens of MB even for resnet18."""
+    model, params, batch_stats = small_model
+    x = jax.ShapeDtypeStruct((1, 32, 32, 3), jnp.float32)
+    for name in ("bf16", "int8"):
+        fn = make_variant_fn(model, batch_stats, params, name)
+        assert hasattr(fn, "inner") and hasattr(fn, "bound_args")
+        txt = jax.jit(fn.inner).lower(x, *fn.bound_args).as_text()
+        assert len(txt) < 2_000_000, (
+            f"{name}: lowered program is {len(txt):,} bytes — weights are "
+            "being inlined as constants again"
+        )
