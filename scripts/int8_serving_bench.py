@@ -104,7 +104,9 @@ def main() -> int:
     results = {}
     ref_preds = None
     for name in variants:
-        fn = make_variant_fn(  # returned fn is already jitted
+        # returned fn dispatches a jitted apply with the weight trees as
+        # arguments (no weights-as-constants; infer/quantization.py)
+        fn = make_variant_fn(
             model, batch_stats, params, name, conv_scales=conv_scales,
             grouped=args.grouped,
         )
