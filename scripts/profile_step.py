@@ -28,11 +28,22 @@ from bench import build  # noqa: E402
 LOGDIR = os.path.join(os.path.dirname(__file__), "..", "logs", "profile")
 
 
+def _flag_value(name: str, default):
+    """``--name value`` from argv, typed like ``default``."""
+    if name in sys.argv:
+        return type(default)(sys.argv[sys.argv.index(name) + 1])
+    return default
+
+
 def main() -> int:
     profile_eval = "--eval" in sys.argv
     profile_int8 = "--int8" in sys.argv  # int8_exec_xla serving variant
-    batch, size = 8, 512
-    state, train_step, eval_step, images, labels, rng = build(batch, size)
+    backbone = _flag_value("--backbone", "resnet50")
+    batch = _flag_value("--batch", 8)
+    size = _flag_value("--size", 512)
+    state, train_step, eval_step, images, labels, rng = build(
+        batch, size, backbone
+    )
 
     if profile_int8:
         from iswm_tpu.config import Config
@@ -43,7 +54,7 @@ def main() -> int:
         from iswm_tpu.models import build_model
 
         cfg = Config()
-        cfg.model.backbone = "resnet50"
+        cfg.model.backbone = backbone
         model = build_model(cfg.model)
         scales = calibrate_conv_inputs(
             model, state.params, state.batch_stats,
