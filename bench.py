@@ -34,7 +34,7 @@ A100_TRAIN_TILES_PER_SEC = 95.0  # documented estimate, see module docstring
 
 def build(batch: int, size: int, backbone: str = "resnet50", output_stride: int = 16,
           int8_training: bool = False, int8_scale_mode: str = "dynamic",
-          int8_bwd: bool = False):
+          int8_bwd: bool = False, grouped_blockdiag: int = 0):
     from iswm_tpu.config import Config
     from iswm_tpu.models import build_model
     from iswm_tpu.ops import make_loss_fn
@@ -48,6 +48,7 @@ def build(batch: int, size: int, backbone: str = "resnet50", output_stride: int 
     cfg.model.int8_training = int8_training  # experimental QAT fwd convs
     cfg.model.int8_scale_mode = int8_scale_mode
     cfg.model.int8_training_bwd = int8_bwd  # + int8 dgrad/wgrad
+    cfg.model.grouped_blockdiag = grouped_blockdiag  # resnext blockdiag gate
     model = build_model(cfg.model)
     tx, _ = make_optimizer(cfg.optim, total_itrs=30000)
     loss_fn = make_loss_fn("ce_loss")
@@ -124,6 +125,10 @@ def main() -> int:
                     help="with --int8_training: dgrad/wgrad also run int8 "
                          "(quantized cotangents, int8 activation residuals)")
     ap.add_argument("--output_stride", type=int, default=16, choices=(8, 16))
+    ap.add_argument("--grouped_blockdiag", type=int, default=0,
+                    help="execute grouped convs with <= this many input "
+                         "channels as block-diagonal dense convs (resnext; "
+                         "0=off — see ModelConfig.grouped_blockdiag)")
     args = ap.parse_args()
 
     if args.smoke:
@@ -146,6 +151,7 @@ def main() -> int:
                 int8_training=args.int8_training,
                 int8_scale_mode=args.int8_scale_mode,
                 int8_bwd=args.int8_bwd,
+                grouped_blockdiag=args.grouped_blockdiag,
             )
             # warm up / compile both paths
             state, m = train_step(state, images, labels, rng)
@@ -261,6 +267,11 @@ def main() -> int:
                 "int8_bwd": bool(args.int8_bwd),
             }
             if args.int8_training
+            else {}
+        ),
+        **(
+            {"grouped_blockdiag": args.grouped_blockdiag}
+            if args.grouped_blockdiag
             else {}
         ),
         "value": round(train_tps, 2),

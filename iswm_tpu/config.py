@@ -78,6 +78,14 @@ class ModelConfig:
     # int8_scale_mode="delayed" (stale fwd scale + int8 bwd,
     # ops/int8_train.int8_conv_fullq_static).
     int8_training_bwd: bool = False
+    # Execute grouped convs (resnext) whose INPUT channels are <= this
+    # as one dense conv with a block-diagonal kernel: XLA's grouped
+    # lowering runs at 1.3-12 TFLOP/s on v5e vs 130-190 dense, so G x
+    # the MACs at the dense rate wins on narrow layers (-29% measured on
+    # the resnext50 layer1 conv2 shape; +40% i.e. a LOSS at layer4's
+    # 1024 channels — scripts/grouped_conv_bench.py).  0 = off (default);
+    # parameters keep the grouped (k,k,Cin/G,Cout) layout either way.
+    grouped_blockdiag: int = 0
 
 
 @dataclass

@@ -76,11 +76,17 @@ def build_model(cfg: ModelConfig) -> DeepLabV3Model:
     kw = dict(dtype=dtype, param_dtype=param_dtype)
     rates = aspp_dilations(cfg.output_stride)
 
-    from .layers import set_int8_bwd, set_int8_scale_mode, set_int8_training
+    from .layers import (
+        set_grouped_blockdiag,
+        set_int8_bwd,
+        set_int8_scale_mode,
+        set_int8_training,
+    )
 
     set_int8_training(getattr(cfg, "int8_training", 0))
     set_int8_scale_mode(getattr(cfg, "int8_scale_mode", "dynamic"))
     set_int8_bwd(getattr(cfg, "int8_training_bwd", False))
+    set_grouped_blockdiag(getattr(cfg, "grouped_blockdiag", 0))
 
     if cfg.backbone in _RESNETS:
         rswd = (False, True, True) if cfg.output_stride == 8 else (False, False, True)

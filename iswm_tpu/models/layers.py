@@ -100,6 +100,35 @@ def int8_bwd_enabled() -> bool:
     return _INT8_BWD[0]
 
 
+# Grouped convs re-expressed as one DENSE conv with a block-diagonal
+# kernel (ModelConfig.grouped_blockdiag, wired by build_model).  XLA's
+# native grouped-conv lowering runs at 1.3-12 TFLOP/s on v5e while dense
+# convs in the same program hit 130-190 (logs/profile/
+# attribution_resnext.txt); burning G x the MACs at the dense rate wins
+# where channels are narrow — measured -29% op time on the resnext50
+# layer1 conv2 shape, +40% (a loss) at layer4's 1024 channels
+# (scripts/grouped_conv_bench.py).  The gate is therefore a MAXIMUM
+# input-channel count; 0 = off (the default — opt in per measurement).
+# The parameter keeps nn.Conv's grouped shape (k,k,Cin/G,Cout) so
+# checkpoints and torch import/export are unaffected.
+_GROUPED_BLOCKDIAG = [0]
+
+
+def set_grouped_blockdiag(max_channels) -> int:
+    """Set the process-wide grouped-as-blockdiag gate; returns the old
+    value.  ``max_channels``: 0/False = off, True = 256, or an explicit
+    maximum input-channel count."""
+    prev = _GROUPED_BLOCKDIAG[0]
+    if max_channels is True:
+        max_channels = 256
+    _GROUPED_BLOCKDIAG[0] = int(max_channels or 0)
+    return prev
+
+
+def grouped_blockdiag_max() -> int:
+    return _GROUPED_BLOCKDIAG[0]
+
+
 def torch_conv_padding(kernel_size: int, dilation: int = 1) -> Tuple[int, int]:
     """Symmetric per-side padding torch uses: (k//2)*d for odd k."""
     pad = (kernel_size // 2) * dilation
@@ -197,6 +226,35 @@ class ConvBN(nn.Module):
                 param_dtype=self.param_dtype,
                 name="conv",
             )(x)
+            return self._bn_relu(x, train)
+        if self.groups > 1 and 0 < x.shape[-1] <= grouped_blockdiag_max():
+            # same math as the grouped conv, executed as one dense conv
+            # with a block-diagonal kernel (see set_grouped_blockdiag);
+            # parameter shape/name match nn.Conv's grouped layout exactly
+            cin = x.shape[-1]
+            cg, og = cin // self.groups, self.features // self.groups
+            kernel = ConvVars(
+                self.features, self.kernel_size, self.param_dtype,
+                name="conv",
+            )(cg)
+            k = self.kernel_size
+            dense = jnp.zeros(
+                (k, k, cin, self.features), kernel.dtype
+            )
+            for gi in range(self.groups):
+                dense = jax.lax.dynamic_update_slice(
+                    dense,
+                    jax.lax.slice_in_dim(kernel, gi * og, (gi + 1) * og, axis=3),
+                    (0, 0, gi * cg, gi * og),
+                )
+            x = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                dense.astype(self.dtype),
+                (self.strides, self.strides),
+                tuple(tuple(p) for p in pad),
+                rhs_dilation=(self.dilation, self.dilation),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
             return self._bn_relu(x, train)
         x = nn.Conv(
             self.features,
