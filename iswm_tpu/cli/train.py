@@ -66,6 +66,11 @@ def get_argparser() -> argparse.ArgumentParser:
                         "convs also run int8 on the MXU (quantized "
                         "cotangents, int8 activation residuals; "
                         "ops/int8_train.int8_conv_fullq)")
+    p.add_argument("--grouped_blockdiag", type=int, default=None,
+                   help="execute grouped convs with <= this many input "
+                        "channels as block-diagonal dense convs (resnext: "
+                        "+32%% train at 256 on v5e, same math/params; "
+                        "0 = off — ModelConfig.grouped_blockdiag)")
 
     # optimization
     p.add_argument("--total_itrs", type=int, default=None)
@@ -127,6 +132,7 @@ def build_config(args: argparse.Namespace) -> Config:
         ("int8_training", ("model", "int8_training")),
         ("int8_scale_mode", ("model", "int8_scale_mode")),
         ("int8_bwd", ("model", "int8_training_bwd")),
+        ("grouped_blockdiag", ("model", "grouped_blockdiag")),
         ("total_itrs", ("train", "total_itrs")),
         ("lr", ("optim", "lr")),
         ("optimizer", ("optim", "optimizer")),
