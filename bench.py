@@ -34,7 +34,8 @@ A100_TRAIN_TILES_PER_SEC = 95.0  # documented estimate, see module docstring
 
 def build(batch: int, size: int, backbone: str = "resnet50", output_stride: int = 16,
           int8_training: bool = False, int8_scale_mode: str = "dynamic",
-          int8_bwd: bool = False, grouped_blockdiag: int = 0):
+          int8_bwd: bool = False, grouped_blockdiag: int = -1,
+          int8_route: str = "gate"):
     from iswm_tpu.config import Config
     from iswm_tpu.models import build_model
     from iswm_tpu.ops import make_loss_fn
@@ -48,6 +49,7 @@ def build(batch: int, size: int, backbone: str = "resnet50", output_stride: int 
     cfg.model.int8_training = int8_training  # experimental QAT fwd convs
     cfg.model.int8_scale_mode = int8_scale_mode
     cfg.model.int8_training_bwd = int8_bwd  # + int8 dgrad/wgrad
+    cfg.model.int8_route = int8_route  # per-site cost model vs scalar gate
     cfg.model.grouped_blockdiag = grouped_blockdiag  # resnext blockdiag gate
     model = build_model(cfg.model)
     tx, _ = make_optimizer(cfg.optim, total_itrs=30000)
@@ -125,10 +127,15 @@ def main() -> int:
                     help="with --int8_training: dgrad/wgrad also run int8 "
                          "(quantized cotangents, int8 activation residuals)")
     ap.add_argument("--output_stride", type=int, default=16, choices=(8, 16))
-    ap.add_argument("--grouped_blockdiag", type=int, default=0,
+    ap.add_argument("--grouped_blockdiag", type=int, default=-1,
                     help="execute grouped convs with <= this many input "
                          "channels as block-diagonal dense convs (resnext; "
-                         "0=off — see ModelConfig.grouped_blockdiag)")
+                         "-1=auto [256 for resnext backbones], 0=off — see "
+                         "ModelConfig.grouped_blockdiag)")
+    ap.add_argument("--int8_route", default="gate", choices=("gate", "cost"),
+                    help="with --int8_training: 'cost' applies the per-site "
+                         "roofline model (ops/int8_train.int8_cost_route) "
+                         "above the channel-gate floor")
     args = ap.parse_args()
 
     if args.smoke:
@@ -152,6 +159,7 @@ def main() -> int:
                 int8_scale_mode=args.int8_scale_mode,
                 int8_bwd=args.int8_bwd,
                 grouped_blockdiag=args.grouped_blockdiag,
+                int8_route=args.int8_route,
             )
             # warm up / compile both paths
             state, m = train_step(state, images, labels, rng)
@@ -201,6 +209,7 @@ def main() -> int:
             _cfg = _Cfg()
             _cfg.model.backbone = args.backbone
             _cfg.model.output_stride = args.output_stride
+            _cfg.model.grouped_blockdiag = args.grouped_blockdiag
             _model = _bm(_cfg.model)
             scales = calibrate_conv_inputs(
                 _model, state.params, state.batch_stats,

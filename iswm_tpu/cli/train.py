@@ -66,11 +66,22 @@ def get_argparser() -> argparse.ArgumentParser:
                         "convs also run int8 on the MXU (quantized "
                         "cotangents, int8 activation residuals; "
                         "ops/int8_train.int8_conv_fullq)")
+    p.add_argument("--int8_route", type=str, default=None,
+                   choices=["gate", "cost"],
+                   help="int8_training site selection: 'gate' = the channel "
+                        "threshold alone; 'cost' = per-site roofline model "
+                        "(ops/int8_train.int8_cost_route) with the threshold "
+                        "as an eligibility floor")
+    p.add_argument("--int8_cost_bytes", type=float, default=None,
+                   help="HBM bytes/value the cost model charges a dynamic "
+                        "quantize pass (default 3.0; sweeps only)")
     p.add_argument("--grouped_blockdiag", type=int, default=None,
                    help="execute grouped convs with <= this many input "
                         "channels as block-diagonal dense convs (resnext: "
                         "+32%% train at 256 on v5e, same math/params; "
-                        "0 = off — ModelConfig.grouped_blockdiag)")
+                        "-1 = auto: 256 for resnext backbones, 0 elsewhere "
+                        "(the default); 0 = off — "
+                        "ModelConfig.grouped_blockdiag)")
 
     # optimization
     p.add_argument("--total_itrs", type=int, default=None)
@@ -132,6 +143,8 @@ def build_config(args: argparse.Namespace) -> Config:
         ("int8_training", ("model", "int8_training")),
         ("int8_scale_mode", ("model", "int8_scale_mode")),
         ("int8_bwd", ("model", "int8_training_bwd")),
+        ("int8_route", ("model", "int8_route")),
+        ("int8_cost_bytes", ("model", "int8_cost_bytes")),
         ("grouped_blockdiag", ("model", "grouped_blockdiag")),
         ("total_itrs", ("train", "total_itrs")),
         ("lr", ("optim", "lr")),

@@ -78,14 +78,31 @@ class ModelConfig:
     # int8_scale_mode="delayed" (stale fwd scale + int8 bwd,
     # ops/int8_train.int8_conv_fullq_static).
     int8_training_bwd: bool = False
+    # How int8_training picks conv sites: "gate" = every eligible conv
+    # whose input channels meet the int8_training threshold; "cost" =
+    # per-site roofline model (ops/int8_train.int8_cost_route) that
+    # weighs each conv's MXU time saved against its quantize-pass HBM
+    # cost, with the channel threshold as an eligibility floor.  The
+    # round-3 gate sweep showed the win/lose structure is per-layer
+    # (BASELINE.md "int8 fwd+bwd TRAINING"), which a scalar gate cannot
+    # express.
+    int8_route: str = "gate"
+    # Incremental HBM bytes/value the cost model charges one dynamic
+    # quantize pass (see int8_cost_route docstring; delayed scaling is
+    # charged a third).  Exposed for sweeps.
+    int8_cost_bytes: float = 3.0
     # Execute grouped convs (resnext) whose INPUT channels are <= this
     # as one dense conv with a block-diagonal kernel: XLA's grouped
     # lowering runs at 1.3-12 TFLOP/s on v5e vs 130-190 dense, so G x
     # the MACs at the dense rate wins on narrow layers (-29% measured on
     # the resnext50 layer1 conv2 shape; +40% i.e. a LOSS at layer4's
-    # 1024 channels — scripts/grouped_conv_bench.py).  0 = off (default);
-    # parameters keep the grouped (k,k,Cin/G,Cout) layout either way.
-    grouped_blockdiag: int = 0
+    # 1024 channels — scripts/grouped_conv_bench.py).  -1 = auto: 256
+    # for grouped backbones (resnext; +32% train / +37% infer measured
+    # at that gate, BASELINE.md r3 zoo), 0 elsewhere.  0 = off; the math
+    # is bit-identical either way (tests/test_models.py) and parameters
+    # keep the grouped (k,k,Cin/G,Cout) layout, so checkpoints and torch
+    # import/export are unaffected by the setting.
+    grouped_blockdiag: int = -1
 
 
 @dataclass

@@ -20,10 +20,10 @@ import numpy as np
 class PrefetchLoader:
     """Wrap a batch iterator with an N-deep background prefetch queue.
 
-    ``place`` (optional): callable applied to each (images, labels) pair on
-    the consumer side of the queue is NOT used — it is applied in the
-    producer thread, so device placement overlaps compute.  Exceptions in
-    the producer propagate to the consumer.
+    ``place`` (optional): callable applied to each (images, labels) pair
+    in the PRODUCER thread, before the pair enters the queue — device
+    placement (the H2D copy) thereby overlaps the consumer's compute.
+    Exceptions in the producer propagate to the consumer.
     """
 
     _SENTINEL = object()

@@ -191,20 +191,24 @@ def make_act_quant_fn(model, batch_stats, params, scales: Dict[str, float]) -> C
     # arrays embed into the lowered program, which blows the remote-compile
     # request-body limit on wide models and duplicates the weights in HBM.
     @jax.jit
-    def _apply(images, q_t, s_t, stats):
-        deq = dequantize_params(q_t, s_t, jnp.bfloat16)
+    def _apply(images, deq_t, stats):
         with nn.intercept_methods(quantizer):
             logits = model.apply(
-                {"params": deq, "batch_stats": stats}, images, train=False
+                {"params": deq_t, "batch_stats": stats}, images, train=False
             )
         return logits.astype(jnp.float32)
 
+    # Dequantize ONCE at build (int8 weight rounding is baked into the
+    # bf16 tree — the variant's numerics): per-call dequant inside jit
+    # measured +27% latency for the weight-only variant (BASELINE.md).
+    deq = dequantize_params(q, s, jnp.bfloat16)
+
     def fn(images):
-        return _apply(images, q, s, batch_stats)
+        return _apply(images, deq, batch_stats)
 
     fn.stored_params = q
     fn.inner = _apply  # (images, *bound_args) form for outer-jit callers
-    fn.bound_args = (q, s, batch_stats)
+    fn.bound_args = (deq, batch_stats)
     return fn
 
 
@@ -236,9 +240,16 @@ def _int8_exec_eligible(module, wide: bool = False, grouped: bool = False) -> bo
     import flax.linen as nn
 
     if wide:
-        from ..models.layers import ConcatConvBN, ShiftedDilatedConv
+        from ..models.layers import (
+            BlockDiagConv, ConcatConvBN, ShiftedDilatedConv,
+        )
 
-        if isinstance(module, (ConcatConvBN, ShiftedDilatedConv)):
+        # BlockDiagConv (grouped_blockdiag execution of resnext 3x3s,
+        # default-on for resnext backbones) EXECUTES as a dense conv, so
+        # it routes like any dense conv — exact under per-O weight scales
+        # because the off-block zeros quantize to exactly 0.  No
+        # ``grouped`` opt-in needed: the MXU-rate win is the dense one.
+        if isinstance(module, (BlockDiagConv, ConcatConvBN, ShiftedDilatedConv)):
             return True
     if not isinstance(module, nn.Conv):
         return False
@@ -374,7 +385,7 @@ def make_int8_exec_fn(
     if wide is None:
         wide = backend == "xla"
     if backend == "xla":
-        from ..models.layers import ShiftedDilatedConv
+        from ..models.layers import BlockDiagConv, ShiftedDilatedConv
         from ..ops.int8_xla import (
             int8_shifted_dilated_conv,
             quantized_conv_xla,
@@ -384,6 +395,19 @@ def make_int8_exec_fn(
             if isinstance(module, ShiftedDilatedConv):
                 return int8_shifted_dilated_conv(
                     x, w_q, w_scale, x_scale, module.dilation
+                )
+            if isinstance(module, BlockDiagConv):
+                # expand the stored grouped (k,k,Cin/G,Cout) int8 kernel
+                # to the dense block-diagonal kernel IN int8 — the
+                # off-block zeros are exact under symmetric quantization,
+                # and per-O scales are identical grouped vs dense (each
+                # O's block is its only nonzero slice)
+                dense_q = module.expand_kernel(w_q, x.shape[-1])
+                return quantized_conv_xla(
+                    x, dense_q, w_scale, x_scale,
+                    strides=(module.strides, module.strides),
+                    padding=tuple(tuple(p) for p in module.padding),
+                    dilation=(module.dilation, module.dilation),
                 )
             return quantized_conv_xla(
                 x, w_q, w_scale, x_scale,

@@ -88,13 +88,15 @@ class StreamMetrics:
     ``update(gts, preds, sequence_data=True)`` feeds the whole window to the
     temporal evaluator and the LAST frame only to region / front / CM
     (reference :102-122) — the asymmetry is intentional.
+
+    The reference's ``temporal_stride`` parameter (stream_metrics.py:10) is
+    accepted there and never read — a dead knob, NOT reproduced here.
     """
 
     def __init__(
         self,
         n_classes: int,
         sequence_length: int = 7,
-        temporal_stride: int = 1,
         threshold: float = 0.005,
         weights: Optional[Mapping[str, float]] = None,
         max_fte: float = MAX_FTE,

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig, aspp_dilations
 from .deeplab import ASPP, DeepLabHead, DeepLabHeadV3Plus, DeepLabV3Model
+from .layers import QUANT_OFF, QuantSpec
 from .mobilenetv2 import MobileNetV2
 from .resnet import ResNet, resnet_feature_channels
 from .xception import Xception
@@ -59,6 +60,40 @@ def _resolve_fused_mode(value: str, setting: str = "fused_blocks") -> str:
     raise ValueError(f"unknown {setting} setting {value!r}")
 
 
+_GROUPED_BACKBONES = ("resnext50_32x4d", "resnext101_32x8d")
+
+
+def quant_spec(cfg: ModelConfig) -> QuantSpec:
+    """Derive the per-model QuantSpec from a ModelConfig.
+
+    The spec is captured by every module at CONSTRUCTION (no process
+    globals), so differently-configured models coexist and retrace
+    independently in one process.
+
+    grouped_blockdiag -1 = auto: gate 256 for grouped (resnext)
+    backbones — the measured optimum (+32% train / +37% infer on
+    resnext50_32x4d, BASELINE.md r3 zoo) — and off elsewhere (dense
+    backbones have no grouped convs; MobileNet's depthwise convs are
+    cg=1 and excluded from blockdiag regardless, see ConvBN).
+    """
+    int8 = getattr(cfg, "int8_training", 0)
+    if int8 is True:
+        int8 = 64
+    gb = getattr(cfg, "grouped_blockdiag", -1)
+    if gb is True:
+        gb = 256
+    if gb in (-1, None):
+        gb = 256 if cfg.backbone in _GROUPED_BACKBONES else 0
+    return QuantSpec(
+        int8_min_channels=int(int8 or 0),
+        int8_scale_mode=getattr(cfg, "int8_scale_mode", "dynamic"),
+        int8_bwd=bool(getattr(cfg, "int8_training_bwd", False)),
+        int8_route=getattr(cfg, "int8_route", "gate"),
+        int8_cost_bytes=float(getattr(cfg, "int8_cost_bytes", 3.0)),
+        grouped_blockdiag_max=int(gb or 0),
+    )
+
+
 def build_model(cfg: ModelConfig) -> DeepLabV3Model:
     """Build a segmentation model from config.
 
@@ -73,20 +108,9 @@ def build_model(cfg: ModelConfig) -> DeepLabV3Model:
         )
     dtype = _dtype(cfg.compute_dtype)
     param_dtype = _dtype(cfg.param_dtype)
-    kw = dict(dtype=dtype, param_dtype=param_dtype)
     rates = aspp_dilations(cfg.output_stride)
-
-    from .layers import (
-        set_grouped_blockdiag,
-        set_int8_bwd,
-        set_int8_scale_mode,
-        set_int8_training,
-    )
-
-    set_int8_training(getattr(cfg, "int8_training", 0))
-    set_int8_scale_mode(getattr(cfg, "int8_scale_mode", "dynamic"))
-    set_int8_bwd(getattr(cfg, "int8_training_bwd", False))
-    set_grouped_blockdiag(getattr(cfg, "grouped_blockdiag", 0))
+    quant = quant_spec(cfg)
+    kw = dict(dtype=dtype, param_dtype=param_dtype, quant=quant)
 
     if cfg.backbone in _RESNETS:
         rswd = (False, True, True) if cfg.output_stride == 8 else (False, False, True)
@@ -152,9 +176,12 @@ __all__ = [
     "DeepLabV3Model",
     "HEADS",
     "MobileNetV2",
+    "QUANT_OFF",
+    "QuantSpec",
     "ResNet",
     "Xception",
     "build_model",
     "build_model_by_name",
+    "quant_spec",
     "resnet_feature_channels",
 ]

@@ -30,8 +30,10 @@ import jax.numpy as jnp
 
 from ..ops.resize import resize_bilinear
 from .layers import (
+    QUANT_OFF,
     ConcatConvBN,
     ConvBN,
+    QuantSpec,
     SeparableConvBN,
     global_avg_pool,
     kaiming_normal,
@@ -51,12 +53,14 @@ class ASPP(nn.Module):
     out_channels: int = 256
     separable: bool = False
     dropout_rate: float = 0.1
+    quant: QuantSpec = QUANT_OFF
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  quant=self.quant)
         Conv3 = _conv3x3(self.separable)
 
         branches = [ConvBN(self.out_channels, 1, name="b0", **kw)(x, train)]
@@ -107,12 +111,14 @@ class DeepLabHeadV3Plus(nn.Module):
     num_classes: int
     atrous_rates: Sequence[int]
     separable: bool = False
+    quant: QuantSpec = QUANT_OFF
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, features: dict, train: bool = False) -> jax.Array:
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  quant=self.quant)
         Conv3 = _conv3x3(self.separable)
 
         low = ConvBN(48, 1, name="project", **kw)(features["low_level"], train)
@@ -151,12 +157,14 @@ class DeepLabHead(nn.Module):
     num_classes: int
     atrous_rates: Sequence[int]
     separable: bool = False
+    quant: QuantSpec = QUANT_OFF
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, features: dict, train: bool = False) -> jax.Array:
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  quant=self.quant)
         Conv3 = _conv3x3(self.separable)
         x = ASPP(
             self.atrous_rates, separable=self.separable, name="aspp", **kw

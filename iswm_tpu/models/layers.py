@@ -14,6 +14,7 @@ Conventions (TPU-native, NOT a torch port):
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 from typing import Any, Optional, Sequence, Tuple
@@ -29,104 +30,93 @@ Dtype = Any
 kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 
-# Experimental int8-forward training (QAT), consulted by ConvBN at trace
-# time.  Process-wide because ConvBN is instantiated at ~26 sites across
-# the zoo; build_model sets it from ModelConfig.int8_training on every
-# build (last build wins — do not interleave int8 and bf16 model builds
-# that retrace later in one process).  The value is the minimum input
-# channel count to route (0 = off): HBM-bound narrow layers lose from the
-# extra absmax+quantize passes, so a higher gate routes only the
-# MXU-bound convs (measured sweep in BASELINE.md).
-_INT8_TRAINING = [0]
+@dataclasses.dataclass(frozen=True)
+class QuantSpec:
+    """Per-model quantized-execution routing, captured at module
+    CONSTRUCTION.
 
+    ``build_model`` derives one from ``ModelConfig`` and threads it
+    through every backbone/head module down to the conv layers — there is
+    no process-global state, so two differently-configured models coexist
+    and retrace independently in one process (the round-3 global gates
+    were a "last build wins" footgun).  Frozen + hashable so it is a
+    legal flax module field and participates in jit cache keys.
 
-def set_int8_training(min_channels) -> int:
-    """Set the process-wide int8-forward-conv gate; returns the old value.
-
-    ``min_channels``: 0/False = off, True = 64 (default gate), or an
-    explicit minimum input-channel count.
+    int8_min_channels — minimum INPUT channel count for int8-forward
+        training convs (QAT on the 2x-rate int8 MXU path); 0 = off.
+        HBM-bound narrow layers lose from the extra quantize passes, so a
+        higher gate routes only MXU-bound convs (sweep in BASELINE.md).
+    int8_scale_mode — "dynamic": per-step absmax of the current tensor
+        (two passes: the scale reduction completes before the quantize
+        divide); "delayed": quantize with the running amax carried in the
+        model's "quant" collection (fp8-style, one fusable pass); falls
+        back to dynamic when the collection isn't provided.
+    int8_bwd — dgrad/wgrad on the int8 MXU path too (quantized
+        cotangents + int8 activation residuals; the measured train-side
+        win, BASELINE.md "int8 fwd+bwd TRAINING").
+    int8_route — "gate": route every eligible conv above the channel
+        gate; "cost": per-site roofline cost model (ops/int8_train.
+        int8_cost_route) that weighs each conv's MXU time saved against
+        its quantize-pass HBM cost — the channel gate then only sets the
+        eligibility floor.  The gate sweep showed the cost structure is
+        per-layer (narrow 1x1s lose at any gate that admits their wide
+        3x3 siblings), which is exactly what a scalar threshold cannot
+        express.
+    int8_cost_bytes — incremental HBM bytes/element the cost model
+        charges one dynamic quantize pass (absmax + divide); the delayed
+        mode is charged 1/3 of it (single fused pass).  Tunable for
+        sweeps (scripts/int8_train_bench.sh).
+    grouped_blockdiag_max — execute grouped convs (resnext 3x3s) whose
+        INPUT channels are <= this as ONE dense conv with a
+        block-diagonal kernel: XLA's grouped lowering runs at 1.3-12
+        TFLOP/s on v5e vs 130-190 dense, so G x the MACs at the dense
+        rate wins on narrow layers (-29% measured on the resnext50
+        layer1 conv2 shape; +40% i.e. a LOSS at layer4's 1024 channels —
+        scripts/grouped_conv_bench.py).  0 = off.  Parameters keep
+        nn.Conv's grouped (k,k,Cin/G,Cout) layout either way.
     """
-    prev = _INT8_TRAINING[0]
-    if min_channels is True:
-        min_channels = 64
-    _INT8_TRAINING[0] = int(min_channels or 0)
-    return prev
+
+    int8_min_channels: int = 0
+    int8_scale_mode: str = "dynamic"
+    int8_bwd: bool = False
+    int8_route: str = "gate"
+    int8_cost_bytes: float = 3.0
+    grouped_blockdiag_max: int = 0
+
+    def __post_init__(self):
+        if self.int8_scale_mode not in ("dynamic", "delayed"):
+            raise ValueError(f"int8_scale_mode {self.int8_scale_mode!r}")
+        if self.int8_route not in ("gate", "cost"):
+            raise ValueError(f"int8_route {self.int8_route!r}")
+
+    @property
+    def int8(self) -> bool:
+        return self.int8_min_channels > 0
+
+    def conv_routing(
+        self, cin: int, cout: int, k: int, stride: int, dilation: int = 1
+    ) -> Tuple[bool, bool]:
+        """(int8_fwd, int8_bwd) decision for one conv site.
+
+        "gate" mode routes fwd (and bwd if requested) whenever
+        ``cin >= int8_min_channels``; "cost" mode additionally applies the
+        per-site roofline model, with the channel gate as a floor.
+        """
+        if not self.int8 or cin < self.int8_min_channels:
+            return False, False
+        if self.int8_route == "gate":
+            return True, self.int8_bwd
+        from ..ops.int8_train import int8_cost_route
+
+        return int8_cost_route(
+            cin, cout, k, stride,
+            delayed=self.int8_scale_mode == "delayed",
+            want_bwd=self.int8_bwd,
+            quant_bytes=self.int8_cost_bytes,
+        )
 
 
-def int8_training_min_channels() -> int:
-    return _INT8_TRAINING[0]
-
-
-def int8_training_enabled() -> bool:
-    return _INT8_TRAINING[0] > 0
-
-
-# Activation-scale mode for the int8-forward convs (ModelConfig.
-# int8_scale_mode, wired by build_model like the gate above):
-#   "dynamic" — per-step absmax of the current tensor (two passes: the
-#               scale reduction must complete before the quantize divide).
-#   "delayed" — quantize with the running amax carried in the model's
-#               "quant" collection (fp8-style delayed scaling: one fusable
-#               pass; the current absmax only feeds the NEXT step's scale).
-#               Falls back to dynamic when the collection isn't provided
-#               (e.g. a bare eval apply with only params/batch_stats).
-_INT8_SCALE_MODE = ["dynamic"]
-
-
-def set_int8_scale_mode(mode: str) -> str:
-    if mode not in ("dynamic", "delayed"):
-        raise ValueError(f"int8_scale_mode {mode!r}")
-    prev = _INT8_SCALE_MODE[0]
-    _INT8_SCALE_MODE[0] = mode
-    return prev
-
-
-def int8_scale_mode() -> str:
-    return _INT8_SCALE_MODE[0]
-
-
-# int8 BACKWARD (dgrad/wgrad on the int8 MXU path too) for the gated
-# convs — ModelConfig.int8_training_bwd, wired by build_model:
-_INT8_BWD = [False]
-
-
-def set_int8_bwd(enabled: bool) -> bool:
-    prev = _INT8_BWD[0]
-    _INT8_BWD[0] = bool(enabled)
-    return prev
-
-
-def int8_bwd_enabled() -> bool:
-    return _INT8_BWD[0]
-
-
-# Grouped convs re-expressed as one DENSE conv with a block-diagonal
-# kernel (ModelConfig.grouped_blockdiag, wired by build_model).  XLA's
-# native grouped-conv lowering runs at 1.3-12 TFLOP/s on v5e while dense
-# convs in the same program hit 130-190 (logs/profile/
-# attribution_resnext.txt); burning G x the MACs at the dense rate wins
-# where channels are narrow — measured -29% op time on the resnext50
-# layer1 conv2 shape, +40% (a loss) at layer4's 1024 channels
-# (scripts/grouped_conv_bench.py).  The gate is therefore a MAXIMUM
-# input-channel count; 0 = off (the default — opt in per measurement).
-# The parameter keeps nn.Conv's grouped shape (k,k,Cin/G,Cout) so
-# checkpoints and torch import/export are unaffected.
-_GROUPED_BLOCKDIAG = [0]
-
-
-def set_grouped_blockdiag(max_channels) -> int:
-    """Set the process-wide grouped-as-blockdiag gate; returns the old
-    value.  ``max_channels``: 0/False = off, True = 256, or an explicit
-    maximum input-channel count."""
-    prev = _GROUPED_BLOCKDIAG[0]
-    if max_channels is True:
-        max_channels = 256
-    _GROUPED_BLOCKDIAG[0] = int(max_channels or 0)
-    return prev
-
-
-def grouped_blockdiag_max() -> int:
-    return _GROUPED_BLOCKDIAG[0]
+QUANT_OFF = QuantSpec()
 
 
 def torch_conv_padding(kernel_size: int, dilation: int = 1) -> Tuple[int, int]:
@@ -150,24 +140,24 @@ class ConvBN(nn.Module):
     param_dtype: Dtype = jnp.float32
     bn_momentum: float = 0.9
     bn_epsilon: float = 1e-5
-    # Experimental QAT: forward conv executes int8 on the MXU (2x rate),
-    # backward stays dense in compute dtype (ops/int8_train.int8_conv_st).
-    # Deliberate numerics change — see ModelConfig.int8_training; also
-    # enabled process-wide by set_int8_training (build_model wires it).
-    int8_fwd: bool = False
+    # Quantized-execution routing (int8 QAT fwd/bwd + grouped-as-blockdiag),
+    # threaded from ModelConfig by build_model; captured per-module at
+    # construction, so differently-configured models coexist in-process.
+    quant: QuantSpec = QUANT_OFF
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         pad = self.padding
         if pad is None:
             pad = [torch_conv_padding(self.kernel_size, self.dilation)] * 2
-        min_ch = 64 if self.int8_fwd else int8_training_min_channels()
-        if (
-            (self.int8_fwd or int8_training_enabled())
-            and self.groups == 1
-            and x.shape[-1] >= min_ch
-            and self.dilation < 6  # the valid-tap branch handles >= 6
-        ):
+        int8_fwd, int8_bwd = False, False
+        if self.quant.int8 and self.groups == 1 and self.dilation < 6:
+            # (the valid-tap ShiftedDilatedConv branch handles dilation>=6)
+            int8_fwd, int8_bwd = self.quant.conv_routing(
+                x.shape[-1], self.features, self.kernel_size,
+                self.strides, self.dilation,
+            )
+        if int8_fwd:
             from ..ops.int8_train import (
                 int8_conv_fullq, int8_conv_fullq_static, int8_conv_st,
                 int8_conv_static_amax,
@@ -181,8 +171,7 @@ class ConvBN(nn.Module):
                 tuple(tuple(p) for p in pad),
                 (self.dilation, self.dilation),
             )
-            bwd = int8_bwd_enabled()
-            delayed = int8_scale_mode() == "delayed" and (
+            delayed = self.quant.int8_scale_mode == "delayed" and (
                 self.is_initializing()
                 or self.has_variable("quant", "x_amax")
                 or self.is_mutable_collection("quant")
@@ -191,14 +180,14 @@ class ConvBN(nn.Module):
                 amax = self.variable(
                     "quant", "x_amax", lambda: jnp.zeros((), jnp.float32)
                 )
-                fn = int8_conv_fullq_static if bwd else int8_conv_static_amax
+                fn = int8_conv_fullq_static if int8_bwd else int8_conv_static_amax
                 x, new_amax = fn(
                     x.astype(self.dtype), kernel.astype(self.dtype),
                     amax.value, *geometry,
                 )
                 if self.is_mutable_collection("quant"):
                     amax.value = new_amax
-            elif bwd:
+            elif int8_bwd:
                 # fwd AND bwd on the int8 MXU path with dynamic scales
                 # (the cotangent quantize is dynamic in both modes — a
                 # gradient has no slowly-drifting scale to carry)
@@ -224,37 +213,35 @@ class ConvBN(nn.Module):
                 self.dilation,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
+                quant=self.quant,
                 name="conv",
             )(x)
             return self._bn_relu(x, train)
-        if self.groups > 1 and 0 < x.shape[-1] <= grouped_blockdiag_max():
+        if (
+            self.groups > 1
+            and 0 < x.shape[-1] <= self.quant.grouped_blockdiag_max
+            # the dense re-expression burns G x the MACs; exclude
+            # depthwise-style groupings (cg < 4, e.g. MobileNet's cg=1)
+            # where G equals the channel count and no grouped-vs-dense
+            # rate gap can repay it — only resnext-style cg>=4 measured
+            and x.shape[-1] // self.groups >= 4
+        ):
             # same math as the grouped conv, executed as one dense conv
-            # with a block-diagonal kernel (see set_grouped_blockdiag);
-            # parameter shape/name match nn.Conv's grouped layout exactly
-            cin = x.shape[-1]
-            cg, og = cin // self.groups, self.features // self.groups
-            kernel = ConvVars(
-                self.features, self.kernel_size, self.param_dtype,
+            # with a block-diagonal kernel (QuantSpec.grouped_blockdiag_max);
+            # parameter shape/name match nn.Conv's grouped layout exactly.
+            # A dedicated module so the int8 serving interceptor can target
+            # it (infer/quantization.py routes it like any dense conv).
+            x = BlockDiagConv(
+                self.features,
+                self.kernel_size,
+                strides=self.strides,
+                dilation=self.dilation,
+                groups=self.groups,
+                padding=tuple(tuple(p) for p in pad),
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
                 name="conv",
-            )(cg)
-            k = self.kernel_size
-            dense = jnp.zeros(
-                (k, k, cin, self.features), kernel.dtype
-            )
-            for gi in range(self.groups):
-                dense = jax.lax.dynamic_update_slice(
-                    dense,
-                    jax.lax.slice_in_dim(kernel, gi * og, (gi + 1) * og, axis=3),
-                    (0, 0, gi * cg, gi * og),
-                )
-            x = jax.lax.conv_general_dilated(
-                x.astype(self.dtype),
-                dense.astype(self.dtype),
-                (self.strides, self.strides),
-                tuple(tuple(p) for p in pad),
-                rhs_dilation=(self.dilation, self.dilation),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            )(x)
             return self._bn_relu(x, train)
         x = nn.Conv(
             self.features,
@@ -285,6 +272,68 @@ class ConvBN(nn.Module):
         return x
 
 
+class BlockDiagConv(nn.Module):
+    """Grouped conv executed as ONE dense conv with a block-diagonal kernel.
+
+    XLA's grouped-conv lowering runs at 1.3-12 TFLOP/s on v5e while dense
+    convs in the same program hit 130-190 (logs/profile/
+    attribution_resnext.txt); burning G x the MACs at the dense rate wins
+    where channels are narrow (scripts/grouped_conv_bench.py).  The
+    parameter keeps nn.Conv's grouped (k,k,Cin/G,Cout) layout under the
+    canonical ``kernel`` name, so checkpoints and torch import/export
+    (reference network/backbone/resnet.py:78-120 grouped Bottleneck) are
+    unaffected; the in-graph scatter to the dense kernel is free at
+    trace time (XLA constant-folds the zero blocks' layout).
+
+    A dedicated module (rather than inline in ConvBN) so the int8 serving
+    interceptor can recognize and route it: the block-diagonal dense conv
+    is int8-exact under per-O weight scales because the off-block zeros
+    quantize to exactly 0 (infer/quantization.py).
+    """
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    dilation: int = 1
+    groups: int = 1
+    padding: Sequence[Tuple[int, int]] = ((1, 1), (1, 1))
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    def expand_kernel(self, kernel: jax.Array, cin: int) -> jax.Array:
+        """Scatter the grouped (k,k,Cin/G,Cout) kernel into the dense
+        block-diagonal (k,k,Cin,Cout) kernel (off-block entries zero)."""
+        k = self.kernel_size
+        cg, og = cin // self.groups, self.features // self.groups
+        dense = jnp.zeros((k, k, cin, self.features), kernel.dtype)
+        for gi in range(self.groups):
+            dense = jax.lax.dynamic_update_slice(
+                dense,
+                jax.lax.slice_in_dim(kernel, gi * og, (gi + 1) * og, axis=3),
+                (0, 0, gi * cg, gi * og),
+            )
+        return dense
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            kaiming_normal,
+            (self.kernel_size, self.kernel_size, cin // self.groups, self.features),
+            self.param_dtype,
+        )
+        dense = self.expand_kernel(kernel, cin)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            dense.astype(self.dtype),
+            (self.strides, self.strides),
+            tuple(tuple(p) for p in self.padding),
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class ConcatConvBN(nn.Module):
     """ConvBN over the channel-concatenation of several inputs, computed as
     a SUM of per-part convs with the kernel sliced in-graph:
@@ -310,6 +359,7 @@ class ConcatConvBN(nn.Module):
     param_dtype: Dtype = jnp.float32
     bn_momentum: float = 0.9
     bn_epsilon: float = 1e-5
+    quant: QuantSpec = QUANT_OFF
 
     @nn.compact
     def __call__(self, parts, train: bool = False) -> jax.Array:
@@ -318,19 +368,20 @@ class ConcatConvBN(nn.Module):
             self.features, self.kernel_size, self.param_dtype, name="conv"
         )(cin)
         pad = torch_conv_padding(self.kernel_size)
-        min_ch = int8_training_min_channels()
-        qat = int8_training_enabled()
         acc = None
         off = 0
         for i, p in enumerate(parts):
             c = p.shape[-1]
             kp = jax.lax.slice_in_dim(kernel, off, off + c, axis=2)
-            if qat and c >= min_ch:
+            part_fwd, part_bwd = self.quant.conv_routing(
+                c, self.features, self.kernel_size, 1
+            )
+            if part_fwd:
                 # QAT routing, per part (each part is its own conv here,
                 # so the ConvBN int8 path applies part-wise; a narrow
                 # part — cls0's 48-ch low-level projection — stays dense
                 # under the same channel gate)
-                t = self._int8_part_conv(i, p, kp, pad)
+                t = self._int8_part_conv(i, p, kp, pad, part_bwd)
             else:
                 t = jax.lax.conv_general_dilated(
                     p.astype(self.dtype),
@@ -353,7 +404,7 @@ class ConcatConvBN(nn.Module):
             x = nn.relu(x)
         return x
 
-    def _int8_part_conv(self, i, p, kp, pad):
+    def _int8_part_conv(self, i, p, kp, pad, bwd):
         """One part's conv on the QAT int8 path (mirrors ConvBN's routing:
         dynamic / delayed fwd scales × bf16 / int8 backward)."""
         from ..ops.int8_train import (
@@ -362,9 +413,8 @@ class ConcatConvBN(nn.Module):
         )
 
         geometry = ((1, 1), (tuple(pad), tuple(pad)), (1, 1))
-        bwd = int8_bwd_enabled()
         name = f"x_amax_p{i}"
-        delayed = int8_scale_mode() == "delayed" and (
+        delayed = self.quant.int8_scale_mode == "delayed" and (
             self.is_initializing()
             or self.has_variable("quant", name)
             or self.is_mutable_collection("quant")
@@ -390,19 +440,19 @@ class ConcatConvBN(nn.Module):
         )
 
 
-def qat_pointwise_conv(x, features, dtype, param_dtype, name="pointwise"):
+def qat_pointwise_conv(x, features, dtype, param_dtype, bwd=False,
+                       name="pointwise"):
     """1×1 unpadded conv on the QAT int8 path, variable-tree-identical to
     ``nn.Conv(use_bias=False, name=name)``.  Call from a compact module
-    ONLY when the int8 gate holds (int8_training_enabled() and the channel
-    gate) — the pointwise halves of separable convs are ~all of their
-    FLOPs (xception int8 serving measured +41%, BASELINE.md).  Dynamic
-    scales only; the delayed-amax machinery stays in ConvBN where the
-    flagship trains."""
+    ONLY when its QuantSpec routing holds — the pointwise halves of
+    separable convs are ~all of their FLOPs (xception int8 serving
+    measured +41%, BASELINE.md).  Dynamic scales only; the delayed-amax
+    machinery stays in ConvBN where the flagship trains."""
     from ..ops.int8_train import int8_conv_fullq, int8_conv_st
 
     kernel = ConvVars(features, 1, param_dtype, name=name)(x.shape[-1])
     geometry = ((1, 1), ((0, 0), (0, 0)), (1, 1))
-    fn = int8_conv_fullq if int8_bwd_enabled() else int8_conv_st
+    fn = int8_conv_fullq if bwd else int8_conv_st
     return fn(x.astype(dtype), kernel.astype(dtype), *geometry)
 
 
@@ -420,6 +470,7 @@ class SeparableConvBN(nn.Module):
     param_dtype: Dtype = jnp.float32
     bn_momentum: float = 0.9
     bn_epsilon: float = 1e-5
+    quant: QuantSpec = QUANT_OFF
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -438,9 +489,10 @@ class SeparableConvBN(nn.Module):
             param_dtype=self.param_dtype,
             name="depthwise",
         )(x)
-        if int8_training_enabled() and x.shape[-1] >= int8_training_min_channels():
+        pw_fwd, pw_bwd = self.quant.conv_routing(x.shape[-1], self.features, 1, 1)
+        if pw_fwd:
             x = qat_pointwise_conv(
-                x, self.features, self.dtype, self.param_dtype
+                x, self.features, self.dtype, self.param_dtype, bwd=pw_bwd
             )
         else:
             x = nn.Conv(
@@ -564,6 +616,7 @@ class ShiftedDilatedConv(nn.Module):
     dilation: int
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
+    quant: QuantSpec = QUANT_OFF
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -571,7 +624,8 @@ class ShiftedDilatedConv(nn.Module):
         kernel = self.param(
             "kernel", kaiming_normal, (3, 3, c, self.features), self.param_dtype
         )
-        if int8_training_enabled() and c >= int8_training_min_channels():
+        tap_fwd, tap_bwd = self.quant.conv_routing(c, self.features, 3, 1)
+        if tap_fwd:
             # QAT: tap dots run int8 (all ASPP branches quantize the SAME
             # input, so XLA CSEs the dynamic quantize across them — no
             # delayed-scale variant needed here)
@@ -579,7 +633,7 @@ class ShiftedDilatedConv(nn.Module):
 
             return int8_dilated_conv3x3(
                 x.astype(self.dtype), kernel.astype(self.dtype),
-                self.dilation, int8_bwd_enabled(),
+                self.dilation, tap_bwd,
             )
         return dilated_conv3x3(
             x.astype(self.dtype), kernel.astype(self.dtype), self.dilation

@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import ConvBN
+from .layers import QUANT_OFF, ConvBN, QuantSpec
 
 Dtype = Any
 
@@ -47,12 +47,14 @@ class InvertedResidual(nn.Module):
     strides: int = 1
     expand_ratio: int = 6
     dilation: int = 1
+    quant: QuantSpec = QUANT_OFF
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  quant=self.quant)
         in_ch = x.shape[-1]
         hidden = int(round(in_ch * self.expand_ratio))
         use_res = self.strides == 1 and in_ch == self.features
@@ -76,12 +78,14 @@ class MobileNetV2(nn.Module):
     arch: str = "mobilenetv2"
     output_stride: int = 16
     width_mult: float = 1.0
+    quant: QuantSpec = QUANT_OFF
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> dict:
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  quant=self.quant)
         input_channel = _make_divisible(32 * self.width_mult)
 
         x = ConvBN(input_channel, 3, strides=2, use_relu=False, name="stem", **kw)(

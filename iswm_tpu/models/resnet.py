@@ -22,9 +22,11 @@ import jax
 import jax.numpy as jnp
 
 from .layers import (
+    QUANT_OFF,
     ConvBN,
     FusedStemPool,
     PackedStemConvBN,
+    QuantSpec,
     fused_stem_eligible,
     max_pool_torch,
 )
@@ -39,6 +41,7 @@ class BasicBlock(nn.Module):
     strides: int = 1
     dilation: int = 1
     downsample: bool = False
+    quant: QuantSpec = QUANT_OFF
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -46,7 +49,8 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  quant=self.quant)
         identity = x
         out = ConvBN(
             self.planes, 3, strides=self.strides, dilation=self.dilation,
@@ -83,6 +87,7 @@ class Bottleneck(nn.Module):
     groups: int = 1
     base_width: int = 64
     fused_mode: str = "never"
+    quant: QuantSpec = QUANT_OFF
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     bn_momentum: float = 0.9
@@ -99,6 +104,7 @@ class Bottleneck(nn.Module):
             and self.dilation == 1
             and self.groups == 1
             and self.base_width == 64
+            and not self.quant.int8  # fused Pallas block is bf16-only
         ):
             from .fused_block import fused_block_eligible, fused_bottleneck_apply
 
@@ -107,7 +113,8 @@ class Bottleneck(nn.Module):
                     self, x, interpret=self.fused_mode == "interpret"
                 )
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
-                  bn_momentum=self.bn_momentum, bn_epsilon=self.bn_epsilon)
+                  bn_momentum=self.bn_momentum, bn_epsilon=self.bn_epsilon,
+                  quant=self.quant)
         width = int(self.planes * self.base_width / 64) * self.groups
         identity = x
         out = ConvBN(width, 1, name="conv1", **kw)(x, train)
@@ -155,26 +162,31 @@ class ResNet(nn.Module):
     in_channels: int = 3  # recorded for checkpoint import; input must match
     fused_mode: str = "never"  # Pallas fused-BN block path (see Bottleneck)
     fused_stem: str = "never"  # Pallas fused stem tail (see FusedStemPool)
+    quant: QuantSpec = QUANT_OFF  # int8 QAT + grouped-blockdiag routing
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> dict:
         block, layer_sizes, groups, base_width = _ARCHS[self.arch]
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  quant=self.quant)
 
         # 7x7/s2 stem evaluated space-to-depth packed: a stride-2 conv on a
         # 3-channel image runs at ~4% of MXU peak; packed it is a 4x4/s1
         # conv over 12 channels with identical math (see PackedStrided2Conv).
+        # (the stem never int8-routes — 3->12 packed input channels are far
+        # below any gate — so it takes no QuantSpec)
+        stem_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         if self.fused_stem != "never" and fused_stem_eligible(x.shape, 7):
             # Post-conv chain (BN+relu+pool, fwd AND bwd) fused in Pallas;
             # identical parameter tree, so checkpoints interchange freely.
             x = FusedStemPool(
                 64, 7, name="stem",
-                interpret=self.fused_stem == "interpret", **kw,
+                interpret=self.fused_stem == "interpret", **stem_kw,
             )(x, train)
         else:
-            x = PackedStemConvBN(64, 7, name="stem", **kw)(x, train)
+            x = PackedStemConvBN(64, 7, name="stem", **stem_kw)(x, train)
             x = max_pool_torch(x, 3, 2, 1)
 
         features = {}

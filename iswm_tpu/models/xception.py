@@ -31,7 +31,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import ConvBN, kaiming_normal, max_pool_torch
+from .layers import (
+    QUANT_OFF, ConvBN, QuantSpec, kaiming_normal, max_pool_torch,
+)
 
 Dtype = Any
 
@@ -41,6 +43,7 @@ class SepConvBN(nn.Module):
 
     features: int
     dilation: int = 1
+    quant: QuantSpec = QUANT_OFF
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -55,14 +58,12 @@ class SepConvBN(nn.Module):
             kernel_init=kaiming_normal,
             dtype=self.dtype, param_dtype=self.param_dtype, name="depthwise",
         )(x)
-        from .layers import (
-            int8_training_enabled, int8_training_min_channels,
-            qat_pointwise_conv,
-        )
+        from .layers import qat_pointwise_conv
 
-        if int8_training_enabled() and x.shape[-1] >= int8_training_min_channels():
+        pw_fwd, pw_bwd = self.quant.conv_routing(x.shape[-1], self.features, 1, 1)
+        if pw_fwd:
             x = qat_pointwise_conv(
-                x, self.features, self.dtype, self.param_dtype
+                x, self.features, self.dtype, self.param_dtype, bwd=pw_bwd
             )
         else:
             x = nn.Conv(
@@ -87,12 +88,14 @@ class XceptionBlock(nn.Module):
     start_with_relu: bool = True
     grow_first: bool = True
     dilation: int = 1
+    quant: QuantSpec = QUANT_OFF
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  quant=self.quant)
         inp = x
         in_filters = x.shape[-1]
 
@@ -126,12 +129,14 @@ class XceptionBlock(nn.Module):
 class Xception(nn.Module):
     arch: str = "xception"
     replace_stride_with_dilation: Sequence[bool] = (False, False, False, True)
+    quant: QuantSpec = QUANT_OFF
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> dict:
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  quant=self.quant)
         rswd = self.replace_stride_with_dilation
 
         # Entry stem: the reference's conv1 uses padding=0 (xception.py:130),

@@ -506,3 +506,75 @@ def _dil_bwd(d, int8_bwd, res, g):
 
 
 int8_dilated_conv3x3.defvjp(_dil_fwd, _dil_bwd)
+
+
+# ------------------------------------------------ per-site routing cost model
+#
+# The round-3 gate sweep (BASELINE.md "int8 fwd+bwd TRAINING") showed the
+# int8-vs-bf16 trade is PER-LAYER: a scalar input-channel threshold admits a
+# narrow 1x1 whenever it admits its wide 3x3 sibling, yet the 1x1 loses (its
+# quantize passes cost more HBM time than its small matmul saves on the MXU)
+# while the 3x3 wins.  This roofline model decides each conv site from its
+# static geometry alone at TRACE time — no measurement loop, no dynamism.
+#
+# Everything is normalized PER INPUT ACTIVATION VALUE (one channel of one
+# pixel), which cancels B*H*W and makes the decision shape-independent:
+#   MACs/value      = k^2 * cout / stride^2     (each value feeds k^2 taps of
+#                                                cout outputs; stride^2 fewer
+#                                                output pixels)
+#   MXU time saved  = 2 * MACs * (1/bf16_peak - 1/int8_peak)   [s/value]
+#   quantize cost   = bytes_touched / hbm_bw                   [s/value]
+# Weight quantization is ignored: its k^2*cin*cout values amortize over
+# B*H*W activations (<<1% at segmentation shapes).
+
+# v5e per-chip peaks (public spec; BASELINE.md roofline section measured
+# 190 TFLOP/s bf16 and 381 TOP/s int8 achievable on large convs).
+V5E_BF16_TFLOPS = 197.0
+V5E_INT8_TOPS = 394.0
+V5E_HBM_GBPS = 819.0
+
+
+def int8_cost_route(
+    cin: int,
+    cout: int,
+    k: int,
+    stride: int,
+    *,
+    delayed: bool = False,
+    want_bwd: bool = False,
+    quant_bytes: float = 3.0,
+) -> Tuple[bool, bool]:
+    """(route_fwd, route_bwd) for one conv site, from static geometry.
+
+    ``quant_bytes`` is the incremental HBM traffic one DYNAMIC activation
+    quantize charges per value: an absmax reduction read + a quantize-pass
+    read + an int8 write ≈ 2*bf16 + 1 = 5 raw bytes, of which XLA fuses
+    part into neighbouring consumers — 3.0 matched the measured gate-256
+    optimum at 512² (the implied fwd threshold k²·cout/stride² ≳ 722
+    routes exactly the layer2+ 3x3s and the wide 1x1 expansions that the
+    winning scalar gate routed, while also skipping the narrow 1x1
+    reducers it could not).  Delayed scaling folds absmax+quantize into
+    one fused pass: charged a third.
+
+    bwd: dgrad + wgrad each save the same MXU time as the forward conv;
+    their only new quantize is the cotangent (cout/stride² values per
+    input value — wgrad reuses the forward's quantized activations and
+    dgrad's quantized cotangent, ops/int8_train.py:232).
+    """
+    mxu_sec_saved = (
+        2.0 * k * k * cout / (stride * stride)
+        * (1.0 / (V5E_BF16_TFLOPS * 1e12) - 1.0 / (V5E_INT8_TOPS * 1e12))
+    )
+    q_sec = quant_bytes / (V5E_HBM_GBPS * 1e9)
+    if delayed:
+        q_sec /= 3.0
+    fwd = mxu_sec_saved > q_sec
+    if not (fwd and want_bwd):
+        # bwd reuses the forward's quantized activations; without the fwd
+        # routed there is no int8 residual to reuse, so bwd follows fwd.
+        return fwd, False
+    g_values_per_input = cout / (cin * stride * stride)
+    # cotangent quantize is always dynamic (a gradient has no slowly-
+    # drifting scale to carry), so full quant_bytes regardless of mode
+    bwd_cost = (quant_bytes / (V5E_HBM_GBPS * 1e9)) * g_values_per_input
+    return True, 2.0 * mxu_sec_saved > bwd_cost

@@ -45,9 +45,10 @@ def create_train_state(
     # backends (hundreds of dispatches), and jit compiles it into one program.
     # A fresh closure (NOT functools.partial(model.init)) on purpose: jit
     # unwraps partials and caches on the bound method, and flax modules
-    # compare equal by field values — two same-config models built under
-    # different process-wide int8 settings (models/layers.set_int8_training)
-    # would silently share one stale trace.
+    # compare equal by field values.  (The QuantSpec module field is part
+    # of those values, so differently-quantized models hash apart — the
+    # round-3 process-global int8 gates made same-config models silently
+    # share one stale trace; the fresh closure remains cheap insurance.)
     variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
         {"params": rng}, sample_input
     )

@@ -56,6 +56,11 @@ def main() -> int:
                     help="int8_exec_xla also routes grouped/depthwise convs "
                          "(resnext 3x3s, mobilenet/xception depthwise) — "
                          "bandwidth play, A/B against the default")
+    ap.add_argument("--grouped_blockdiag", type=int, default=-1,
+                    help="blockdiag gate for grouped convs (-1=auto: 256 on "
+                         "resnext, 0 elsewhere; 0=off for A/Bs — "
+                         "ModelConfig.grouped_blockdiag). BlockDiagConv "
+                         "sites int8-route like dense convs")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -75,7 +80,8 @@ def main() -> int:
 
     print(f"backend: {jax.default_backend()}")
     cfg = ModelConfig(backbone=args.backbone, compute_dtype="bfloat16",
-                      output_stride=args.output_stride)
+                      output_stride=args.output_stride,
+                      grouped_blockdiag=args.grouped_blockdiag)
     model = build_model(cfg)
     probe = jnp.zeros((1, args.size, args.size, 3), jnp.bfloat16)
     variables = jax.jit(

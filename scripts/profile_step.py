@@ -28,19 +28,27 @@ from bench import build  # noqa: E402
 LOGDIR = os.path.join(os.path.dirname(__file__), "..", "logs", "profile")
 
 
-def _flag_value(name: str, default):
-    """``--name value`` from argv, typed like ``default``."""
-    if name in sys.argv:
-        return type(default)(sys.argv[sys.argv.index(name) + 1])
-    return default
+def _parse_args():
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--eval", action="store_true",
+                    help="profile the eval step instead of the train step")
+    ap.add_argument("--int8", action="store_true",
+                    help="profile the int8_exec_xla serving variant")
+    ap.add_argument("--backbone", default="resnet50")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--size", type=int, default=512)
+    return ap.parse_args()
 
 
 def main() -> int:
-    profile_eval = "--eval" in sys.argv
-    profile_int8 = "--int8" in sys.argv  # int8_exec_xla serving variant
-    backbone = _flag_value("--backbone", "resnet50")
-    batch = _flag_value("--batch", 8)
-    size = _flag_value("--size", 512)
+    args = _parse_args()
+    profile_eval = args.eval
+    profile_int8 = args.int8
+    backbone = args.backbone
+    batch = args.batch
+    size = args.size
     state, train_step, eval_step, images, labels, rng = build(
         batch, size, backbone
     )

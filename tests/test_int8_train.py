@@ -57,7 +57,6 @@ def test_int8_training_smoke():
     decreasing; the variable tree matches the bf16 model's exactly."""
     from iswm_tpu.config import Config
     from iswm_tpu.models import build_model
-    from iswm_tpu.models.layers import set_int8_training
     from iswm_tpu.ops import make_loss_fn
     from iswm_tpu.train.optim import make_optimizer
     from iswm_tpu.train.step import create_train_state, make_train_step
@@ -66,33 +65,29 @@ def test_int8_training_smoke():
     cfg.model.backbone = "resnet18"
     cfg.model.compute_dtype = "float32"
     cfg.model.int8_training = True
-    try:
-        model = build_model(cfg.model)
-        tx, _ = make_optimizer(cfg.optim, total_itrs=10)
-        step = make_train_step(model, tx, make_loss_fn("ce_loss"), donate=False)
-        rng = np.random.default_rng(0)
-        x = jnp.asarray(rng.normal(size=(2, 48, 48, 3)), jnp.float32)
-        y = jnp.asarray((rng.random((2, 48, 48)) > 0.8), jnp.int32)
-        state = create_train_state(model, tx, jax.random.key(0), x[:1])
+    model = build_model(cfg.model)
+    tx, _ = make_optimizer(cfg.optim, total_itrs=10)
+    step = make_train_step(model, tx, make_loss_fn("ce_loss"), donate=False)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 48, 48, 3)), jnp.float32)
+    y = jnp.asarray((rng.random((2, 48, 48)) > 0.8), jnp.int32)
+    state = create_train_state(model, tx, jax.random.key(0), x[:1])
 
-        # tree parity with the bf16 model (same checkpoints load)
-        set_int8_training(False)
-        ref_model = build_model(
-            type(cfg.model)(backbone="resnet18", compute_dtype="float32")
-        )
-        ref_state = create_train_state(ref_model, tx, jax.random.key(0), x[:1])
-        assert jax.tree_util.tree_structure(state.params) == \
-            jax.tree_util.tree_structure(ref_state.params)
-        set_int8_training(True)
+    # tree parity with the bf16 model (same checkpoints load); QuantSpec
+    # is per-model, so the plain build needs no global gymnastics
+    ref_model = build_model(
+        type(cfg.model)(backbone="resnet18", compute_dtype="float32")
+    )
+    ref_state = create_train_state(ref_model, tx, jax.random.key(0), x[:1])
+    assert jax.tree_util.tree_structure(state.params) == \
+        jax.tree_util.tree_structure(ref_state.params)
 
-        losses = []
-        for i in range(10):
-            state, metrics = step(state, x, y, jax.random.key(i))
-            losses.append(float(metrics["loss"]))
-        assert np.isfinite(losses).all()
-        assert losses[-1] < losses[0]
-    finally:
-        set_int8_training(False)
+    losses = []
+    for i in range(10):
+        state, metrics = step(state, x, y, jax.random.key(i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
 
 
 def test_int8_conv_static_amax_matches_dynamic_when_warm():
@@ -144,7 +139,6 @@ def test_int8_training_delayed_smoke():
     one step, loss decreases, and the params tree still matches bf16."""
     from iswm_tpu.config import Config
     from iswm_tpu.models import build_model
-    from iswm_tpu.models.layers import set_int8_scale_mode, set_int8_training
     from iswm_tpu.ops import make_loss_fn
     from iswm_tpu.train.optim import make_optimizer
     from iswm_tpu.train.step import create_train_state, make_train_step
@@ -154,32 +148,28 @@ def test_int8_training_delayed_smoke():
     cfg.model.compute_dtype = "float32"
     cfg.model.int8_training = True
     cfg.model.int8_scale_mode = "delayed"
-    try:
-        model = build_model(cfg.model)
-        tx, _ = make_optimizer(cfg.optim, total_itrs=10)
-        step = make_train_step(model, tx, make_loss_fn("ce_loss"), donate=False)
-        rng = np.random.default_rng(0)
-        x = jnp.asarray(rng.normal(size=(2, 48, 48, 3)), jnp.float32)
-        y = jnp.asarray((rng.random((2, 48, 48)) > 0.8), jnp.int32)
-        state = create_train_state(model, tx, jax.random.key(0), x[:1])
+    model = build_model(cfg.model)
+    tx, _ = make_optimizer(cfg.optim, total_itrs=10)
+    step = make_train_step(model, tx, make_loss_fn("ce_loss"), donate=False)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 48, 48, 3)), jnp.float32)
+    y = jnp.asarray((rng.random((2, 48, 48)) > 0.8), jnp.int32)
+    state = create_train_state(model, tx, jax.random.key(0), x[:1])
 
-        amaxes = jax.tree_util.tree_leaves(state.quant)
-        assert amaxes, "delayed mode must create the quant collection"
-        # init already warms the amaxes from the sample input (the quant
-        # collection is mutable during model.init)
-        assert all(float(a) >= 0.0 for a in amaxes)
+    amaxes = jax.tree_util.tree_leaves(state.quant)
+    assert amaxes, "delayed mode must create the quant collection"
+    # init already warms the amaxes from the sample input (the quant
+    # collection is mutable during model.init)
+    assert all(float(a) >= 0.0 for a in amaxes)
 
-        losses = []
-        for i in range(10):
-            state, metrics = step(state, x, y, jax.random.key(i))
-            losses.append(float(metrics["loss"]))
-        assert np.isfinite(losses).all()
-        assert losses[-1] < losses[0]
-        warm = jax.tree_util.tree_leaves(state.quant)
-        assert all(float(a) > 0.0 for a in warm), "amaxes warmed after steps"
-    finally:
-        set_int8_training(False)
-        set_int8_scale_mode("dynamic")
+    losses = []
+    for i in range(10):
+        state, metrics = step(state, x, y, jax.random.key(i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    warm = jax.tree_util.tree_leaves(state.quant)
+    assert all(float(a) > 0.0 for a in warm), "amaxes warmed after steps"
 
 
 def test_conv_scales_from_quant_serves_int8_exec():
@@ -189,7 +179,6 @@ def test_conv_scales_from_quant_serves_int8_exec():
     model build, and the executed-int8 fn runs with the merged scales."""
     from iswm_tpu.config import Config
     from iswm_tpu.models import build_model
-    from iswm_tpu.models.layers import set_int8_scale_mode, set_int8_training
     from iswm_tpu.infer.quantization import (
         calibrate_conv_inputs,
         conv_scales_from_quant,
@@ -206,26 +195,22 @@ def test_conv_scales_from_quant_serves_int8_exec():
     cfg.model.compute_dtype = "float32"
     cfg.model.int8_training = True
     cfg.model.int8_scale_mode = "delayed"
-    try:
-        qat_model = build_model(cfg.model)
-        tx, _ = make_optimizer(cfg.optim, total_itrs=1)
-        state = create_train_state(qat_model, tx, jax.random.key(0), x)
-        qat_scales = conv_scales_from_quant(state.quant)
-        assert qat_scales, "QAT build must yield per-conv scales"
-        import re
+    qat_model = build_model(cfg.model)
+    tx, _ = make_optimizer(cfg.optim, total_itrs=1)
+    state = create_train_state(qat_model, tx, jax.random.key(0), x)
+    qat_scales = conv_scales_from_quant(state.quant)
+    assert qat_scales, "QAT build must yield per-conv scales"
+    import re
 
-        assert all(
-            k.endswith("/conv") or re.search(r"#p\d+$", k) for k in qat_scales
-        )
-        # ConcatConvBN (decoder cls0) part amaxes must map to the serving
-        # interceptor's "<site>#p{i}" keys, not be dropped
-        assert any(re.search(r"#p\d+$", k) for k in qat_scales), (
-            "ConcatConvBN x_amax_p{i} entries missing from the serving map"
-        )
-        assert all(s > 0 for s in qat_scales.values())
-    finally:
-        set_int8_training(False)
-        set_int8_scale_mode("dynamic")
+    assert all(
+        k.endswith("/conv") or re.search(r"#p\d+$", k) for k in qat_scales
+    )
+    # ConcatConvBN (decoder cls0) part amaxes must map to the serving
+    # interceptor's "<site>#p{i}" keys, not be dropped
+    assert any(re.search(r"#p\d+$", k) for k in qat_scales), (
+        "ConcatConvBN x_amax_p{i} entries missing from the serving map"
+    )
+    assert all(s > 0 for s in qat_scales.values())
 
     # plain build (serving-side model): same variable tree, no quant coll.
     plain_model = build_model(
@@ -255,7 +240,6 @@ def test_quant_sidecar_checkpoint_roundtrip(tmp_path):
     depends on that (infer/predictor.py)."""
     from iswm_tpu.config import Config
     from iswm_tpu.models import build_model
-    from iswm_tpu.models.layers import set_int8_scale_mode, set_int8_training
     from iswm_tpu.train import checkpoint as ckpt_lib
     from iswm_tpu.train.optim import make_optimizer
     from iswm_tpu.train.step import create_train_state
@@ -268,27 +252,23 @@ def test_quant_sidecar_checkpoint_roundtrip(tmp_path):
     cfg.model.compute_dtype = "float32"
     cfg.model.int8_training = True
     cfg.model.int8_scale_mode = "delayed"
-    try:
-        model = build_model(cfg.model)
-        tx, _ = make_optimizer(cfg.optim, total_itrs=1)
-        state = create_train_state(model, tx, jax.random.key(0), x)
-        assert jax.tree_util.tree_leaves(state.quant)
-        # make the amaxes distinguishable from a fresh init
-        marked = jax.tree.map(lambda a: a + 3.25, state.quant)
-        state = state.replace(quant=marked)
-        path = ckpt_lib.save_latest(str(tmp_path), state)
+    model = build_model(cfg.model)
+    tx, _ = make_optimizer(cfg.optim, total_itrs=1)
+    state = create_train_state(model, tx, jax.random.key(0), x)
+    assert jax.tree_util.tree_leaves(state.quant)
+    # make the amaxes distinguishable from a fresh init
+    marked = jax.tree.map(lambda a: a + 3.25, state.quant)
+    state = state.replace(quant=marked)
+    path = ckpt_lib.save_latest(str(tmp_path), state)
 
-        # QAT template: amaxes come back exactly
-        fresh = create_train_state(model, tx, jax.random.key(1), x)
-        restored, _ = ckpt_lib.restore(path, fresh)
-        got = jax.tree.leaves(restored.quant)
-        want = jax.tree.leaves(marked)
-        assert len(got) == len(want)
-        for g, w in zip(got, want):
-            np.testing.assert_allclose(np.asarray(g), np.asarray(w))
-    finally:
-        set_int8_training(False)
-        set_int8_scale_mode("dynamic")
+    # QAT template: amaxes come back exactly
+    fresh = create_train_state(model, tx, jax.random.key(1), x)
+    restored, _ = ckpt_lib.restore(path, fresh)
+    got = jax.tree.leaves(restored.quant)
+    want = jax.tree.leaves(marked)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w))
 
     # plain template (serving side): sidecar still restores
     plain_cfg = type(cfg.model)(backbone="resnet18", compute_dtype="float32")
@@ -356,7 +336,6 @@ def test_int8_bwd_training_smoke():
     variable tree unchanged (checkpoints interchange with bf16)."""
     from iswm_tpu.config import Config
     from iswm_tpu.models import build_model
-    from iswm_tpu.models.layers import set_int8_bwd, set_int8_training
     from iswm_tpu.ops import make_loss_fn
     from iswm_tpu.train.optim import make_optimizer
     from iswm_tpu.train.step import create_train_state, make_train_step
@@ -366,35 +345,27 @@ def test_int8_bwd_training_smoke():
     cfg.model.compute_dtype = "float32"
     cfg.model.int8_training = True
     cfg.model.int8_training_bwd = True
-    try:
-        model = build_model(cfg.model)
-        tx, _ = make_optimizer(cfg.optim, total_itrs=10)
-        step = make_train_step(model, tx, make_loss_fn("ce_loss"), donate=False)
-        rng = np.random.default_rng(0)
-        x = jnp.asarray(rng.normal(size=(2, 48, 48, 3)), jnp.float32)
-        y = jnp.asarray((rng.random((2, 48, 48)) > 0.8), jnp.int32)
-        state = create_train_state(model, tx, jax.random.key(0), x[:1])
+    model = build_model(cfg.model)
+    tx, _ = make_optimizer(cfg.optim, total_itrs=10)
+    step = make_train_step(model, tx, make_loss_fn("ce_loss"), donate=False)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 48, 48, 3)), jnp.float32)
+    y = jnp.asarray((rng.random((2, 48, 48)) > 0.8), jnp.int32)
+    state = create_train_state(model, tx, jax.random.key(0), x[:1])
 
-        set_int8_training(False)
-        set_int8_bwd(False)
-        ref_model = build_model(
-            type(cfg.model)(backbone="resnet18", compute_dtype="float32")
-        )
-        ref_state = create_train_state(ref_model, tx, jax.random.key(0), x[:1])
-        assert jax.tree_util.tree_structure(state.params) == \
-            jax.tree_util.tree_structure(ref_state.params)
-        set_int8_training(True)
-        set_int8_bwd(True)
+    ref_model = build_model(
+        type(cfg.model)(backbone="resnet18", compute_dtype="float32")
+    )
+    ref_state = create_train_state(ref_model, tx, jax.random.key(0), x[:1])
+    assert jax.tree_util.tree_structure(state.params) == \
+        jax.tree_util.tree_structure(ref_state.params)
 
-        losses = []
-        for i in range(10):
-            state, metrics = step(state, x, y, jax.random.key(i))
-            losses.append(float(metrics["loss"]))
-        assert np.isfinite(losses).all()
-        assert losses[-1] < losses[0]
-    finally:
-        set_int8_training(False)
-        set_int8_bwd(False)
+    losses = []
+    for i in range(10):
+        state, metrics = step(state, x, y, jax.random.key(i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
 
 
 def test_int8_conv_fullq_static_matches_fullq_when_warm():
@@ -434,9 +405,6 @@ def test_int8_bwd_delayed_training_smoke():
     updated, loss decreases over 10 steps."""
     from iswm_tpu.config import Config
     from iswm_tpu.models import build_model
-    from iswm_tpu.models.layers import (
-        set_int8_bwd, set_int8_scale_mode, set_int8_training,
-    )
     from iswm_tpu.ops import make_loss_fn
     from iswm_tpu.train.optim import make_optimizer
     from iswm_tpu.train.step import create_train_state, make_train_step
@@ -447,33 +415,28 @@ def test_int8_bwd_delayed_training_smoke():
     cfg.model.int8_training = True
     cfg.model.int8_scale_mode = "delayed"
     cfg.model.int8_training_bwd = True
-    try:
-        model = build_model(cfg.model)
-        tx, _ = make_optimizer(cfg.optim, total_itrs=10)
-        step = make_train_step(model, tx, make_loss_fn("ce_loss"), donate=False)
-        rng = np.random.default_rng(0)
-        x = jnp.asarray(rng.normal(size=(2, 48, 48, 3)), jnp.float32)
-        y = jnp.asarray((rng.random((2, 48, 48)) > 0.8), jnp.int32)
-        state = create_train_state(model, tx, jax.random.key(0), x[:1])
-        amaxes = jax.tree_util.tree_leaves(state.quant)
-        assert amaxes, "delayed mode must create the quant collection"
-        flat = jax.tree_util.tree_flatten_with_path(state.quant)[0]
-        assert any(
-            "x_amax_p" in jax.tree_util.keystr(path) for path, _ in flat
-        ), "ConcatConvBN (decoder cls0) parts must be QAT-routed too"
+    model = build_model(cfg.model)
+    tx, _ = make_optimizer(cfg.optim, total_itrs=10)
+    step = make_train_step(model, tx, make_loss_fn("ce_loss"), donate=False)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 48, 48, 3)), jnp.float32)
+    y = jnp.asarray((rng.random((2, 48, 48)) > 0.8), jnp.int32)
+    state = create_train_state(model, tx, jax.random.key(0), x[:1])
+    amaxes = jax.tree_util.tree_leaves(state.quant)
+    assert amaxes, "delayed mode must create the quant collection"
+    flat = jax.tree_util.tree_flatten_with_path(state.quant)[0]
+    assert any(
+        "x_amax_p" in jax.tree_util.keystr(path) for path, _ in flat
+    ), "ConcatConvBN (decoder cls0) parts must be QAT-routed too"
 
-        losses = []
-        for i in range(10):
-            state, metrics = step(state, x, y, jax.random.key(i))
-            losses.append(float(metrics["loss"]))
-        assert np.isfinite(losses).all()
-        assert losses[-1] < losses[0]
-        warm = jax.tree_util.tree_leaves(state.quant)
-        assert all(float(a) > 0 for a in warm), "amaxes must have warmed up"
-    finally:
-        set_int8_training(False)
-        set_int8_scale_mode("dynamic")
-        set_int8_bwd(False)
+    losses = []
+    for i in range(10):
+        state, metrics = step(state, x, y, jax.random.key(i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    warm = jax.tree_util.tree_leaves(state.quant)
+    assert all(float(a) > 0 for a in warm), "amaxes must have warmed up"
 
 
 def test_int8_dilated_conv3x3_exact_on_grid():
@@ -532,7 +495,6 @@ def test_int8_training_xception_pointwise_smoke():
     matches the dense model's, 3 train steps stay finite and decrease."""
     from iswm_tpu.config import Config
     from iswm_tpu.models import build_model
-    from iswm_tpu.models.layers import set_int8_bwd, set_int8_training
     from iswm_tpu.ops import make_loss_fn
     from iswm_tpu.train.optim import make_optimizer
     from iswm_tpu.train.step import create_train_state, make_train_step
@@ -542,37 +504,29 @@ def test_int8_training_xception_pointwise_smoke():
     cfg.model.compute_dtype = "float32"
     cfg.model.int8_training = True
     cfg.model.int8_training_bwd = True
-    try:
-        model = build_model(cfg.model)
-        tx, _ = make_optimizer(cfg.optim, total_itrs=3)
-        step = make_train_step(model, tx, make_loss_fn("ce_loss"), donate=False)
-        rng = np.random.default_rng(0)
-        x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
-        y = jnp.asarray((rng.random((1, 64, 64)) > 0.8), jnp.int32)
-        state = create_train_state(model, tx, jax.random.key(0), x)
+    model = build_model(cfg.model)
+    tx, _ = make_optimizer(cfg.optim, total_itrs=3)
+    step = make_train_step(model, tx, make_loss_fn("ce_loss"), donate=False)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
+    y = jnp.asarray((rng.random((1, 64, 64)) > 0.8), jnp.int32)
+    state = create_train_state(model, tx, jax.random.key(0), x)
 
-        set_int8_training(False)
-        set_int8_bwd(False)
-        ref_model = build_model(
-            type(cfg.model)(backbone="xception", compute_dtype="float32")
-        )
-        ref_state = create_train_state(ref_model, tx, jax.random.key(0), x)
-        assert jax.tree_util.tree_structure(state.params) == \
-            jax.tree_util.tree_structure(ref_state.params)
-        set_int8_training(True)
-        set_int8_bwd(True)
+    ref_model = build_model(
+        type(cfg.model)(backbone="xception", compute_dtype="float32")
+    )
+    ref_state = create_train_state(ref_model, tx, jax.random.key(0), x)
+    assert jax.tree_util.tree_structure(state.params) == \
+        jax.tree_util.tree_structure(ref_state.params)
 
-        losses = []
-        for i in range(8):
-            state, metrics = step(state, x, y, jax.random.key(i))
-            losses.append(float(metrics["loss"]))
-        assert np.isfinite(losses).all()
-        # int8-gradient steps on a 1-sample batch aren't monotonic;
-        # descend-on-average is the invariant
-        assert min(losses[4:]) < losses[0]
-    finally:
-        set_int8_training(False)
-        set_int8_bwd(False)
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, x, y, jax.random.key(i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    # int8-gradient steps on a 1-sample batch aren't monotonic;
+    # descend-on-average is the invariant
+    assert min(losses[4:]) < losses[0]
 
 
 def test_int8_bwd_training_on_mesh():
@@ -585,9 +539,6 @@ def test_int8_bwd_training_on_mesh():
 
     from iswm_tpu.config import Config
     from iswm_tpu.models import build_model
-    from iswm_tpu.models.layers import (
-        set_int8_bwd, set_int8_scale_mode, set_int8_training,
-    )
     from iswm_tpu.ops import make_loss_fn
     from iswm_tpu.parallel.mesh import make_mesh
     from iswm_tpu.train.optim import make_optimizer
@@ -599,34 +550,103 @@ def test_int8_bwd_training_on_mesh():
     cfg.model.int8_training = True
     cfg.model.int8_scale_mode = "delayed"
     cfg.model.int8_training_bwd = True
-    try:
-        model = build_model(cfg.model)
-        tx, _ = make_optimizer(cfg.optim, total_itrs=2)
-        step = make_train_step(model, tx, make_loss_fn("ce_loss"), donate=False)
-        rng = np.random.default_rng(0)
-        x = jnp.asarray(rng.normal(size=(4, 48, 48, 3)), jnp.float32)
-        y = jnp.asarray((rng.random((4, 48, 48)) > 0.8), jnp.int32)
-        state = create_train_state(model, tx, jax.random.key(0), x[:1])
+    model = build_model(cfg.model)
+    tx, _ = make_optimizer(cfg.optim, total_itrs=2)
+    step = make_train_step(model, tx, make_loss_fn("ce_loss"), donate=False)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 48, 48, 3)), jnp.float32)
+    y = jnp.asarray((rng.random((4, 48, 48)) > 0.8), jnp.int32)
+    state = create_train_state(model, tx, jax.random.key(0), x[:1])
 
-        mesh = make_mesh(data_axis=4, model_axis=2)
-        batch_sh = NamedSharding(mesh, P("data", "model"))
-        repl = NamedSharding(mesh, P())
-        state = jax.device_put(state, repl)
-        x = jax.device_put(x, batch_sh)
-        y = jax.device_put(y, batch_sh)
+    mesh = make_mesh(data_axis=4, model_axis=2)
+    batch_sh = NamedSharding(mesh, P("data", "model"))
+    repl = NamedSharding(mesh, P())
+    state = jax.device_put(state, repl)
+    x = jax.device_put(x, batch_sh)
+    y = jax.device_put(y, batch_sh)
 
-        losses = []
-        for i in range(2):
-            state, metrics = step(state, x, y, jax.random.key(i))
-            losses.append(float(metrics["loss"]))
-        assert np.isfinite(losses).all()
-        warm = jax.tree_util.tree_leaves(state.quant)
-        assert warm and all(float(a) > 0 for a in warm)
-        # amax state must stay fully replicated (every shard identical)
-        for leaf in warm:
-            vals = {float(np.asarray(s.data)) for s in leaf.addressable_shards}
-            assert len(vals) == 1
-    finally:
-        set_int8_training(False)
-        set_int8_scale_mode("dynamic")
-        set_int8_bwd(False)
+    losses = []
+    for i in range(2):
+        state, metrics = step(state, x, y, jax.random.key(i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    warm = jax.tree_util.tree_leaves(state.quant)
+    assert warm and all(float(a) > 0 for a in warm)
+    # amax state must stay fully replicated (every shard identical)
+    for leaf in warm:
+        vals = {float(np.asarray(s.data)) for s in leaf.addressable_shards}
+        assert len(vals) == 1
+
+def test_int8_cost_route_geometry():
+    """The per-site roofline model (VERDICT r3 ask #2) expresses what the
+    scalar channel gate cannot: at the same input width, a wide 3x3 routes
+    (k^2*cout MACs/value dwarf the quantize pass) while a narrow 1x1
+    reducer does not (its small matmul saves less MXU time than the
+    absmax+quantize HBM passes cost)."""
+    from iswm_tpu.ops.int8_train import int8_cost_route
+
+    # resnext/resnet layer2+ 3x3: k=3, cout=256 -> MACs/value 2304, routes
+    fwd, bwd = int8_cost_route(256, 256, 3, 1, want_bwd=True)
+    assert fwd and bwd
+    # narrow 1x1 reducer: k=1, cout=64 -> MACs/value 64, loses
+    fwd, bwd = int8_cost_route(256, 64, 1, 1, want_bwd=True)
+    assert not fwd and not bwd
+    # stride divides output pixels: a /2 strided 1x1 must be at least as
+    # hard to justify as its unstrided sibling
+    assert (
+        int8_cost_route(256, 512, 1, 2)[0]
+        <= int8_cost_route(256, 512, 1, 1)[0]
+    )
+    # delayed scaling (one fused pass) lowers the routing threshold:
+    # anything the dynamic mode routes, delayed routes too
+    for cout, k in ((64, 3), (256, 1), (512, 1), (256, 3)):
+        dyn = int8_cost_route(256, cout, k, 1)[0]
+        dly = int8_cost_route(256, cout, k, 1, delayed=True)[0]
+        assert dly >= dyn
+    # bwd never routes without fwd (it reuses the fwd's int8 residuals)
+    assert int8_cost_route(256, 64, 1, 1, want_bwd=True) == (False, False)
+
+
+def test_int8_route_cost_in_model():
+    """int8_route='cost' in a real model: QuantSpec.conv_routing applies
+    the roofline model above the channel floor, so the routed-site SET is
+    a strict subset of gate mode's at the same threshold; training still
+    steps to a finite, decreasing loss."""
+    from iswm_tpu.config import Config
+    from iswm_tpu.models import build_model, quant_spec
+    from iswm_tpu.ops import make_loss_fn
+    from iswm_tpu.train.optim import make_optimizer
+    from iswm_tpu.train.step import create_train_state, make_train_step
+
+    cfg = Config()
+    cfg.model.backbone = "resnet18"
+    cfg.model.compute_dtype = "float32"
+    cfg.model.int8_training = 8
+    spec_gate = quant_spec(cfg.model)
+    cfg.model.int8_route = "cost"
+    spec_cost = quant_spec(cfg.model)
+
+    # every conv geometry of resnet18 @48px: (cin, cout, k, stride)
+    sites = [(64, 64, 3, 1), (64, 128, 3, 2), (128, 128, 3, 1),
+             (64, 128, 1, 2), (128, 256, 3, 2), (256, 256, 3, 1),
+             (128, 256, 1, 2), (256, 512, 3, 1), (512, 512, 3, 1),
+             (256, 512, 1, 1), (256, 48, 1, 1), (304, 256, 3, 1)]
+    gate_routed = {s for s in sites if spec_gate.conv_routing(*s[:4])[0]}
+    cost_routed = {s for s in sites if spec_cost.conv_routing(*s[:4])[0]}
+    assert cost_routed < gate_routed, (cost_routed, gate_routed)
+    # the narrow 1x1 head reducer is exactly what cost mode must drop
+    assert (256, 48, 1, 1) in gate_routed - cost_routed
+
+    model = build_model(cfg.model)
+    tx, _ = make_optimizer(cfg.optim, total_itrs=6)
+    step = make_train_step(model, tx, make_loss_fn("ce_loss"), donate=False)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 48, 48, 3)), jnp.float32)
+    y = jnp.asarray((rng.random((2, 48, 48)) > 0.8), jnp.int32)
+    state = create_train_state(model, tx, jax.random.key(0), x[:1])
+    losses = []
+    for i in range(6):
+        state, metrics = step(state, x, y, jax.random.key(i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

@@ -253,38 +253,84 @@ def test_grouped_blockdiag_matches_native():
     import jax.numpy as jnp
     import numpy as np
 
-    from iswm_tpu.models.layers import ConvBN, set_grouped_blockdiag
+    from iswm_tpu.models.layers import ConvBN, QuantSpec
 
-    conv = ConvBN(16, kernel_size=3, groups=4, dtype=jnp.float32,
-                  param_dtype=jnp.float32)
+    kw = dict(kernel_size=3, groups=4, dtype=jnp.float32,
+              param_dtype=jnp.float32)
+    conv = ConvBN(16, **kw)
+    conv_bd = ConvBN(16, quant=QuantSpec(grouped_blockdiag_max=64), **kw)
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(2, 8, 8, 16)), jnp.float32
     )
 
-    prev = set_grouped_blockdiag(0)
-    try:
-        v_native = conv.init({"params": jax.random.key(0)}, x, train=False)
-        y_native, g_native = jax.value_and_grad(
-            lambda v: jnp.sum(conv.apply(v, x, train=False) ** 2)
-        )(v_native)
+    v_native = conv.init({"params": jax.random.key(0)}, x, train=False)
+    y_native, g_native = jax.value_and_grad(
+        lambda v: jnp.sum(conv.apply(v, x, train=False) ** 2)
+    )(v_native)
 
-        set_grouped_blockdiag(64)
-        v_bd = conv.init({"params": jax.random.key(0)}, x, train=False)
-        assert jax.tree_util.tree_structure(v_bd) == (
-            jax.tree_util.tree_structure(v_native)
+    v_bd = conv_bd.init({"params": jax.random.key(0)}, x, train=False)
+    assert jax.tree_util.tree_structure(v_bd) == (
+        jax.tree_util.tree_structure(v_native)
+    )
+    assert (
+        v_bd["params"]["conv"]["kernel"].shape
+        == v_native["params"]["conv"]["kernel"].shape
+    )
+    y_bd, g_bd = jax.value_and_grad(
+        lambda v: jnp.sum(conv_bd.apply(v, x, train=False) ** 2)
+    )(v_native)  # same params through the blockdiag path
+    np.testing.assert_allclose(float(y_bd), float(y_native), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_bd),
+                    jax.tree_util.tree_leaves(g_native)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
         )
-        assert (
-            v_bd["params"]["conv"]["kernel"].shape
-            == v_native["params"]["conv"]["kernel"].shape
-        )
-        y_bd, g_bd = jax.value_and_grad(
-            lambda v: jnp.sum(conv.apply(v, x, train=False) ** 2)
-        )(v_native)  # same params through the blockdiag path
-        np.testing.assert_allclose(float(y_bd), float(y_native), rtol=1e-5)
-        for a, b in zip(jax.tree_util.tree_leaves(g_bd),
-                        jax.tree_util.tree_leaves(g_native)):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
-            )
-    finally:
-        set_grouped_blockdiag(prev)
+
+
+def test_grouped_blockdiag_excludes_depthwise():
+    """Depthwise-style groupings (cg<4, e.g. MobileNet's cg=1) never take
+    the blockdiag path regardless of the gate — the dense re-expression
+    burns G x the MACs, unpayable when G equals the channel count."""
+    import jax
+    import jax.numpy as jnp
+
+    from iswm_tpu.models.layers import ConvBN, QuantSpec
+
+    conv = ConvBN(16, kernel_size=3, groups=16, dtype=jnp.float32,
+                  param_dtype=jnp.float32,
+                  quant=QuantSpec(grouped_blockdiag_max=256))
+    x = jnp.zeros((1, 8, 8, 16), jnp.float32)
+    v = conv.init({"params": jax.random.key(0)}, x, train=False)
+    # depthwise grouped layout (3,3,1,16) proves the nn.Conv branch ran
+    assert v["params"]["conv"]["kernel"].shape == (3, 3, 1, 16)
+
+
+def test_quant_specs_coexist_in_process():
+    """Two differently-quantized models built in ONE process produce
+    independent, correct traces (the round-3 process-global gates made the
+    last build win; QuantSpec is a module field, so jit caches key on it)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from iswm_tpu.config import ModelConfig
+    from iswm_tpu.models import build_model
+
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(1, 32, 32, 3)), jnp.bfloat16
+    )
+    cfg_a = ModelConfig(backbone="resnet18")
+    cfg_b = ModelConfig(backbone="resnet18", int8_training=8)
+    m_a, m_b = build_model(cfg_a), build_model(cfg_b)
+    v = jax.jit(lambda r, xx: m_a.init(r, xx, train=False))(
+        {"params": jax.random.key(0)}, x
+    )
+    apply_a = jax.jit(lambda vv, xx: m_a.apply(vv, xx, train=False))
+    apply_b = jax.jit(lambda vv, xx: m_b.apply(vv, xx, train=False))
+    before = np.asarray(apply_a(v, x), np.float32)
+    # same variable tree by design; the int8 model quantizes activations,
+    # so its logits must differ while the bf16 model's are unchanged
+    out_b = np.asarray(apply_b(v, x), np.float32)
+    after = np.asarray(apply_a(v, x), np.float32)
+    np.testing.assert_array_equal(before, after)
+    assert not np.allclose(before, out_b, atol=1e-3)

@@ -366,18 +366,19 @@ def test_int8_exec_xla_engine_serialize_roundtrip(small_model):
 
 
 def test_int8_exec_xla_grouped_backbone():
-    """Grouped-conv zoo member (resnext50_32x4d): the int8 serving router
-    must skip every grouped 3x3 (feature_group_count gate — a per-tensor
-    dense int8 matmul would be numerically wrong for a grouped
-    contraction) while still routing the dense 1x1s, and the variant stays
-    in mask agreement with f32."""
+    """Grouped-conv zoo member (resnext50_32x4d) with blockdiag OFF: the
+    int8 serving router must skip every grouped 3x3 (feature_group_count
+    gate — a per-tensor dense int8 matmul would be numerically wrong for a
+    grouped contraction) while still routing the dense 1x1s, and the
+    variant stays in mask agreement with f32."""
     from iswm_tpu.infer.quantization import (
         calibrate_conv_inputs,
         make_int8_exec_fn,
         make_variant_fn,
     )
 
-    cfg = ModelConfig(backbone="resnext50_32x4d", compute_dtype="float32")
+    cfg = ModelConfig(backbone="resnext50_32x4d", compute_dtype="float32",
+                      grouped_blockdiag=0)
     model = build_model(cfg)
     x0 = jnp.zeros((1, 32, 32, 3))
     variables = model.init({"params": jax.random.key(0)}, x0, train=False)
@@ -399,6 +400,49 @@ def test_int8_exec_xla_grouped_backbone():
     logits_f = np.asarray(ref(x))
     agree = float((logits_q.argmax(-1) == logits_f.argmax(-1)).mean())
     assert agree > 0.95, f"grouped-backbone int8 mask agreement {agree}"
+
+
+def test_int8_exec_xla_routes_blockdiag():
+    """resnext50 at the DEFAULT config (grouped_blockdiag auto -> 256):
+    the narrow grouped 3x3s execute as BlockDiagConv, which the int8
+    serving router treats like any dense conv — exact under per-O weight
+    scales because each O's only nonzero input block is its own slice —
+    so blockdiag and int8_exec_xla now COMPOSE (round-3's interceptor
+    skipped the blockdiag path entirely).  The wide grouped 3x3s
+    (layer3/4, cin > gate) stay native-grouped and must NOT route."""
+    from iswm_tpu.infer.quantization import (
+        calibrate_conv_inputs,
+        make_int8_exec_fn,
+        make_variant_fn,
+    )
+
+    cfg = ModelConfig(backbone="resnext50_32x4d", compute_dtype="float32")
+    model = build_model(cfg)
+    assert model.backbone.quant.grouped_blockdiag_max == 256  # the auto default
+    x0 = jnp.zeros((1, 32, 32, 3))
+    variables = model.init({"params": jax.random.key(0)}, x0, train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
+    conv_scales = calibrate_conv_inputs(model, params, batch_stats, [x],
+                                        wide=True)
+    fn = make_int8_exec_fn(model, batch_stats, params, conv_scales,
+                           backend="xla")
+    logits_q = np.asarray(fn(x))
+    routed = set(fn.routed_sites)
+    # layer1/2 conv2 (cin 128/256 <= gate) are BlockDiagConv -> routed
+    bd = [k for k in routed if "/conv2/" in k
+          and ("layer1" in k or "layer2" in k)]
+    assert bd, f"no blockdiag conv2 routed: {sorted(routed)[:10]}"
+    # layer3/4 conv2 (cin 512/1024 > gate) stay native grouped -> skipped
+    wide_grouped = [k for k in routed if "/conv2/" in k
+                    and ("layer3" in k or "layer4" in k)]
+    assert not wide_grouped, f"wide grouped convs wrongly routed: {wide_grouped}"
+    ref = make_variant_fn(model, batch_stats, params, "f32")
+    logits_f = np.asarray(ref(x))
+    agree = float((logits_q.argmax(-1) == logits_f.argmax(-1)).mean())
+    assert agree > 0.95, f"blockdiag int8 mask agreement {agree}"
 
 
 def test_quantized_conv_xla_grouped_exact_on_grid():
