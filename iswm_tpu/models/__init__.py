@@ -60,7 +60,12 @@ def _resolve_fused_mode(value: str, setting: str = "fused_blocks") -> str:
     raise ValueError(f"unknown {setting} setting {value!r}")
 
 
-_GROUPED_BACKBONES = ("resnext50_32x4d", "resnext101_32x8d")
+# auto grouped_blockdiag gate per grouped backbone: the measured optima
+# (r3/r4 TPU sweeps, BASELINE.md).  resnext50_32x4d: gate 256 (+32% train
+# / +37% infer; 512 loses on its wide layer4).  resnext101_32x8d: gate 512
+# (427.7 vs 409.0 train tiles/s and 1659.5 vs 1528.0 int8-infer at 256 —
+# its 8-wide groups keep blockdiag winning one stage deeper).
+_GROUPED_BACKBONES = {"resnext50_32x4d": 256, "resnext101_32x8d": 512}
 
 
 def quant_spec(cfg: ModelConfig) -> QuantSpec:
@@ -70,11 +75,11 @@ def quant_spec(cfg: ModelConfig) -> QuantSpec:
     globals), so differently-configured models coexist and retrace
     independently in one process.
 
-    grouped_blockdiag -1 = auto: gate 256 for grouped (resnext)
-    backbones — the measured optimum (+32% train / +37% infer on
-    resnext50_32x4d, BASELINE.md r3 zoo) — and off elsewhere (dense
-    backbones have no grouped convs; MobileNet's depthwise convs are
-    cg=1 and excluded from blockdiag regardless, see ConvBN).
+    grouped_blockdiag -1 = auto: the per-backbone measured optimum for
+    grouped (resnext) backbones — see _GROUPED_BACKBONES — and off
+    elsewhere (dense backbones have no grouped convs; MobileNet's
+    depthwise convs are cg=1 and excluded from blockdiag regardless,
+    see ConvBN).
     """
     int8 = getattr(cfg, "int8_training", 0)
     if int8 is True:
@@ -83,7 +88,7 @@ def quant_spec(cfg: ModelConfig) -> QuantSpec:
     if gb is True:
         gb = 256
     if gb in (-1, None):
-        gb = 256 if cfg.backbone in _GROUPED_BACKBONES else 0
+        gb = _GROUPED_BACKBONES.get(cfg.backbone, 0)
     return QuantSpec(
         int8_min_channels=int(int8 or 0),
         int8_scale_mode=getattr(cfg, "int8_scale_mode", "dynamic"),
