@@ -66,6 +66,14 @@ def get_argparser() -> argparse.ArgumentParser:
                         "convs also run int8 on the MXU (quantized "
                         "cotangents, int8 activation residuals; "
                         "ops/int8_train.int8_conv_fullq)")
+    p.add_argument("--int8_switch_iter", type=int, default=None,
+                   help="int8-early/bf16-finish hybrid schedule: with "
+                        "--int8_training, iterations >= this run the plain "
+                        "bf16 train step (params/optimizer/BN stats carry "
+                        "over; 0 = off).  The int8 arms of the accuracy "
+                        "study peak LATER than bf16 — switching at ~75-80%% "
+                        "of total_itrs targets the int8 throughput win "
+                        "without its end-of-run accuracy cost")
     p.add_argument("--int8_route", type=str, default=None,
                    choices=["gate", "cost"],
                    help="int8_training site selection: 'gate' = the channel "
@@ -144,6 +152,7 @@ def build_config(args: argparse.Namespace) -> Config:
         ("int8_scale_mode", ("model", "int8_scale_mode")),
         ("int8_bwd", ("model", "int8_training_bwd")),
         ("int8_route", ("model", "int8_route")),
+        ("int8_switch_iter", ("train", "int8_switch_iter")),
         ("int8_cost_bytes", ("model", "int8_cost_bytes")),
         ("grouped_blockdiag", ("model", "grouped_blockdiag")),
         ("total_itrs", ("train", "total_itrs")),

@@ -214,6 +214,18 @@ class TrainConfig:
     # (0 = off); auto_resume restores it at startup when present
     latest_interval: int = 0
     auto_resume: bool = False
+    # int8-early / bf16-finish hybrid schedule (0 = off): with
+    # model.int8_training > 0, iterations >= this switch the train step
+    # (and validation forward) to the plain bf16 model — parameters,
+    # optimizer state and BN stats carry over unchanged (QAT adds no
+    # parameters; a delayed-mode "quant" collection is dropped at the
+    # switch).  Motivated by the multi-seed int8_bwd study (BASELINE.md
+    # round 4): the int8 arms track ~0.01 weighted BELOW bf16 but PEAK
+    # LATER, so taking the +9-14% int8_bwd throughput early and finishing
+    # the last ~20-25% of iterations in bf16 may recover the accuracy
+    # deficit at most of the speed win.  Measured verdict in BASELINE.md
+    # (round 5).
+    int8_switch_iter: int = 0
 
 
 @dataclass
@@ -255,8 +267,10 @@ class PredictConfig:
     serving_variant: str = "bf16"
     # With int8_exec_xla: also route grouped/depthwise convs (resnext 3x3s,
     # mobilenetv2/xception depthwise stages) — exact under per-O weight
-    # scales; a bandwidth play for HBM-bound depthwise convs.  Default off
-    # until measured on v5e (scripts/int8_serving_bench.py --grouped A/B).
+    # scales.  MEASURED wash-to-NEGATIVE on v5e (round 3 --grouped A/B,
+    # BASELINE.md: mobilenetv2 −0.5%, xception −5.4% — XLA's int8
+    # grouped/depthwise convs are no faster than bf16 and the per-stage
+    # quantize passes add VPU cost), so default-off; kept for sweeps.
     int8_grouped: bool = False
 
 

@@ -234,8 +234,11 @@ def _int8_exec_eligible(module, wide: bool = False, grouped: bool = False) -> bo
 
     ``grouped`` (XLA backend, opt-in): also route grouped/depthwise convs
     (resnext 3x3s, the mobilenetv2/xception depthwise stages) — exact
-    under per-O weight scales (quantized_conv_xla docstring); a bandwidth
-    play for HBM-bound depthwise convs, unmeasured on v5e so default-off.
+    under per-O weight scales (quantized_conv_xla docstring).  MEASURED
+    wash-to-NEGATIVE on v5e (round-3 --grouped A/B, BASELINE.md:
+    mobilenetv2 −0.5%, xception −5.4% — the hoped-for depthwise bandwidth
+    win doesn't materialize and the per-stage quantize passes add VPU
+    cost), so it stays default-off as a documented negative.
     """
     import flax.linen as nn
 
@@ -377,13 +380,28 @@ def make_int8_exec_fn(
     int8 MXU rate — BASELINE.md "int8 via XLA").  ``wide`` (default: True
     for the xla backend) extends eligibility to every dense conv with
     >=64 input channels (3x3s, strided, dilated); calibrate with the same
-    ``wide`` flag."""
+    ``wide`` flag.  ``wide`` requires the xla backend: the wide-only
+    module routes (ShiftedDilatedConv taps, ConcatConvBN per-part convs,
+    BlockDiagConv dense expansion) have no Pallas lowering, and silently
+    feeding their non-1x1 kernels to quantized_conv1x1 would compute
+    wrong outputs.
+
+    Memory: the built fn holds BOTH the int8 tree (``fn.stored_params``)
+    and the dequantized bf16 tree (``fn.bound_args[0]``) alive — ~1.5× the
+    weight-only footprint — because per-call dequant measured +27% latency
+    (BASELINE.md).  Fine single-variant on v5e; if many variants are ever
+    held concurrently, drop ``fn.stored_params`` to a shape/dtype summary."""
     import flax.linen as nn
 
     from ..models.layers import ConcatConvBN
 
     if wide is None:
         wide = backend == "xla"
+    if wide and backend != "xla":
+        raise ValueError(
+            "wide=True int8 execution requires backend='xla' (the wide "
+            "module routes have no Pallas lowering)"
+        )
     if backend == "xla":
         from ..models.layers import BlockDiagConv, ShiftedDilatedConv
         from ..ops.int8_xla import (

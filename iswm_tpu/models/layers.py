@@ -94,13 +94,22 @@ class QuantSpec:
         return self.int8_min_channels > 0
 
     def conv_routing(
-        self, cin: int, cout: int, k: int, stride: int, dilation: int = 1
+        self, cin: int, cout: int, k: int, stride: int
     ) -> Tuple[bool, bool]:
         """(int8_fwd, int8_bwd) decision for one conv site.
 
         "gate" mode routes fwd (and bwd if requested) whenever
         ``cin >= int8_min_channels``; "cost" mode additionally applies the
         per-site roofline model, with the channel gate as a floor.
+        (Dilation does not enter the cost model: a dilated conv has the
+        same MACs/value and quantize bytes as its dense-k sibling.)
+
+        "cost" assumes delayed-mode sites actually execute the fused
+        single-pass quantize.  ConvBN falls back to DYNAMIC quantization
+        when the "quant" collection is absent (bare eval apply), where the
+        model then under-charges those sites by 3x — an eval-only perf-
+        model mismatch, no numerics impact; training applies always carry
+        the collection.
         """
         if not self.int8 or cin < self.int8_min_channels:
             return False, False
@@ -154,8 +163,7 @@ class ConvBN(nn.Module):
         if self.quant.int8 and self.groups == 1 and self.dilation < 6:
             # (the valid-tap ShiftedDilatedConv branch handles dilation>=6)
             int8_fwd, int8_bwd = self.quant.conv_routing(
-                x.shape[-1], self.features, self.kernel_size,
-                self.strides, self.dilation,
+                x.shape[-1], self.features, self.kernel_size, self.strides,
             )
         if int8_fwd:
             from ..ops.int8_train import (

@@ -554,7 +554,14 @@ def int8_cost_route(
     routes exactly the layer2+ 3x3s and the wide 1x1 expansions that the
     winning scalar gate routed, while also skipping the narrow 1x1
     reducers it could not).  Delayed scaling folds absmax+quantize into
-    one fused pass: charged a third.
+    one fused pass: charged a third.  NOTE: because quant_bytes was
+    back-fitted to the measured gate-256 optimum, the round-4 cost-vs-gate
+    wash on the flagship is partly circular — the mode's value is on
+    geometries where channel width is NOT the cost proxy (round-5
+    off-calibration A/Bs in BASELINE.md).  Known conservatism: sites that
+    share one quantized input (the five ASPP branches, ConcatConvBN
+    parts) are each charged a full quantize pass although XLA CSEs the
+    dynamic quantize across them.
 
     bwd: dgrad + wgrad each save the same MXU time as the forward conv;
     their only new quantize is the cotangent (cout/stride² values per

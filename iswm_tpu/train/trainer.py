@@ -133,11 +133,19 @@ class Trainer:
             mean=tuple(cfg.data.mean),
             std=tuple(cfg.data.std),
         )
+        self._aug = aug
         self.train_step = make_train_step(
             self.model, self.tx, self.loss_fn, augment=aug,
             remat=cfg.parallel.remat,
         )
         self.eval_step = make_eval_step(self.model, want=("preds",))
+        # int8-early / bf16-finish hybrid schedule (TrainConfig.
+        # int8_switch_iter): iterations >= the switch run the plain bf16
+        # step.  The bf16 model/step are built lazily at the switch (the
+        # second compile happens then, not at startup).
+        self._switch_iter = (
+            cfg.train.int8_switch_iter if cfg.model.int8_training else 0
+        )
 
         # ----------------------------------------------------------- state
         rng = jax.random.key(cfg.train.random_seed)
@@ -241,6 +249,8 @@ class Trainer:
         step = int(self.state.step)
         try:
             while step < cfg.train.total_itrs:
+                if self._switch_iter and step >= self._switch_iter:
+                    self._switch_to_bf16()
                 if cfg.train.profile_steps:
                     if step == cfg.train.profile_start and not profiling:
                         jax.profiler.start_trace(
@@ -327,6 +337,32 @@ class Trainer:
                     pass
             self.logger.close()
         return {"best_weighted_score": self.best_weighted}
+
+    # ------------------------------------------------------- hybrid switch
+    def _switch_to_bf16(self) -> None:
+        """int8-early / bf16-finish: swap the train/eval steps to a plain
+        bf16 model (TrainConfig.int8_switch_iter).  QAT adds no parameters,
+        so the TrainState (params, BN stats, optimizer state) carries over
+        unchanged; a delayed-mode "quant" collection (stale activation
+        amaxes) is dropped — the bf16 program does not read it."""
+        import dataclasses
+
+        mcfg = dataclasses.replace(
+            self.cfg.model, int8_training=0, int8_training_bwd=False
+        )
+        self.model = build_model(mcfg)
+        self.train_step = make_train_step(
+            self.model, self.tx, self.loss_fn, augment=self._aug,
+            remat=self.cfg.parallel.remat,
+        )
+        self.eval_step = make_eval_step(self.model, want=("preds",))
+        if jax.tree_util.tree_leaves(self.state.quant):
+            self.state = self.state.replace(quant={})
+        print(
+            f"[int8_switch @ {int(self.state.step)}] "
+            "train step switched int8 -> bf16 (hybrid schedule)"
+        )
+        self._switch_iter = 0
 
     # ---------------------------------------------------------- validation
     def quick_eval(self) -> Dict[str, float]:

@@ -650,3 +650,51 @@ def test_int8_route_cost_in_model():
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_int8_switch_iter_hybrid_schedule(tmp_path):
+    """TrainConfig.int8_switch_iter: a 6-iter trainer run with the switch
+    at 3 starts on the int8 (QAT, delayed scales) step and finishes on the
+    plain bf16 step — params/optimizer/BN stats carry over, the delayed
+    "quant" collection is dropped at the switch, and the run completes
+    with finite losses."""
+    import os
+
+    from iswm_tpu.config import Config
+    from iswm_tpu.train import Trainer
+
+    root = str(tmp_path)
+    cfg = Config()
+    cfg.model.backbone = "resnet18"
+    cfg.model.compute_dtype = "float32"
+    cfg.model.int8_training = 8
+    cfg.model.int8_scale_mode = "delayed"  # exercises the quant-drop path
+    cfg.model.int8_training_bwd = True
+    cfg.data.synthetic = True
+    cfg.data.data_root = os.path.join(root, "data")
+    cfg.data.synthetic_train_size = 8
+    cfg.data.synthetic_val_size = 4
+    cfg.data.synthetic_image_size = 40
+    cfg.data.crop_size = 32
+    cfg.data.batch_size = 8
+    cfg.data.val_batch_size = 4
+    cfg.train.total_itrs = 6
+    cfg.train.val_interval = 6
+    cfg.train.print_interval = 3
+    cfg.train.int8_switch_iter = 3
+    cfg.train.checkpoints_dir = os.path.join(root, "ckpt")
+    cfg.train.val_results_dir = os.path.join(root, "val")
+    cfg.train.metrics_plots_dir = os.path.join(root, "plots")
+    cfg.train.log_dir = os.path.join(root, "logs")
+    cfg.metrics.sequence_length = 3
+
+    trainer = Trainer(cfg)
+    assert trainer.model.backbone.quant.int8  # starts quantized
+    assert jax.tree_util.tree_leaves(trainer.state.quant)  # delayed amaxes
+    trainer.fit()
+    assert int(trainer.state.step) == 6
+    assert trainer._switch_iter == 0  # switch happened
+    assert not trainer.model.backbone.quant.int8  # finished on bf16 model
+    assert not jax.tree_util.tree_leaves(trainer.state.quant)  # dropped
+    losses = trainer.logger.history["train_loss"]
+    assert len(losses) >= 2 and np.isfinite(losses).all()

@@ -11,6 +11,9 @@ the paths a single golden never touches:
   resnet18_os8     CE @ OS=8      — dilated layers 3&4 + ASPP [12,24,36]
   resnet18_focal   focal g=2      — the (1-pt)^gamma scaling path
   mobilenetv2      CE @ OS=16     — inverted-residual blocks
+  resnext50        CE @ OS=16     — the grouped zoo at its DEFAULT
+                                    grouped_blockdiag execution (auto gate
+                                    256, models/__init__._GROUPED_BACKBONES)
 
 Regenerate deliberately (after an intentional numerics change) with:
   ISWM_REGEN_GOLDEN=1 PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
@@ -58,6 +61,17 @@ CONFIGS = {
     "mobilenetv2": (
         "train_regression_mbv2.json",
         {("model", "backbone"): "mobilenetv2", ("loss", "loss_type"): "ce_loss"},
+        True,
+    ),
+    # pins the resnext DEFAULT path: grouped 3x3s executed as BlockDiagConv
+    # (auto gate, quant_spec) — insurance the per-step equality test
+    # (test_models.py) can't give over a 20-step optimizer trajectory
+    "resnext50": (
+        "train_regression_resnext.json",
+        {
+            ("model", "backbone"): "resnext50_32x4d",
+            ("loss", "loss_type"): "ce_loss",
+        },
         True,
     ),
 }
