@@ -60,3 +60,17 @@ def test_quantization_cli(tmp_path):
     ])
     assert rc == 0
     assert os.path.exists(os.path.join(str(tmp_path), "cmp", "variant_comparison.png"))
+
+
+def test_train_cli_flag_mapping_int8_switch():
+    """--int8_switch_iter maps to train.int8_switch_iter (config-only)."""
+    from iswm_tpu.cli.train import build_config, get_argparser
+
+    args = get_argparser().parse_args([
+        "--int8_training", "256", "--int8_bwd", "1",
+        "--int8_switch_iter", "2400", "--total_itrs", "3000",
+    ])
+    cfg = build_config(args)
+    assert cfg.train.int8_switch_iter == 2400
+    assert cfg.model.int8_training == 256
+    assert bool(cfg.model.int8_training_bwd)  # int flag (0/1), truthy here
