@@ -556,9 +556,13 @@ def int8_cost_route(
     reducers it could not).  Delayed scaling folds absmax+quantize into
     one fused pass: charged a third.  NOTE: because quant_bytes was
     back-fitted to the measured gate-256 optimum, the round-4 cost-vs-gate
-    wash on the flagship is partly circular — the mode's value is on
-    geometries where channel width is NOT the cost proxy (round-5
-    off-calibration A/Bs in BASELINE.md).  Known conservatism: sites that
+    wash on the flagship is partly circular.  Round-5 off-calibration A/Bs
+    (BASELINE.md "Measured (round 5)"): OS=8 512²/bs4 cost 66.47 vs
+    gate-256 67.08 tiles/s (−0.9%, wash) and mobilenetv2 200²/bs32 cost
+    2983.4 vs gate-256 2927.3 (**+1.9% — the one measured win**, on the
+    depthwise/pointwise mix where channel width is not the cost proxy).
+    Verdict: gate 256 stays the default; "cost" is a mild opt-in for
+    depthwise-heavy backbones.  Known conservatism: sites that
     share one quantized input (the five ASPP branches, ConcatConvBN
     parts) are each charged a full quantize pass although XLA CSEs the
     dynamic quantize across them.
