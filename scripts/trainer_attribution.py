@@ -111,13 +111,22 @@ def main() -> int:
     # ---------------------------------------------------- 2. device-only
     # one device-resident loader batch (uint8 + device augment — the SAME
     # program the fit loop runs), stepped in a dependent chain: the device
-    # truth for this geometry
+    # truth for this geometry.
+    # NOTE: the batch must be re-fed as PLAIN committed device arrays.
+    # Re-feeding the same mesh-sharded (NamedSharding) arrays into a
+    # dependent chain costs ~1.3 s/step through the tunneled backend
+    # (isolated in scripts/dispatch_anomaly_probe.py: sharded-re-fed
+    # 1314.5 ms/step vs 19.0 plain / 20.7 fresh sharded batches) — the
+    # round-5 attribution run's 462 ms/step "device-only" row was this
+    # artifact, not device truth.
     it0 = device_prefetch_iterator(
         batch_iterator(trainer.train_ds, args.batch, shuffle=True,
                        drop_last=True, seed=3, epochs=None),
         mesh=trainer.mesh, depth=2,
     )
     images, labels = next(it0)
+    images = jax.device_put(np.asarray(jax.device_get(images)))
+    labels = jax.device_put(np.asarray(jax.device_get(labels)))
     state = trainer.state
     # warm-up / compile
     state, m = trainer.train_step(state, images, labels, trainer.rng)
