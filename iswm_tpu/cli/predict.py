@@ -44,8 +44,13 @@ def get_argparser() -> argparse.ArgumentParser:
                         "measured faster than bf16 on v5e)")
     p.add_argument("--int8_grouped", action="store_true",
                    help="with int8_exec_xla: also route grouped/depthwise "
-                        "convs (resnext/mobilenet/xception) — default off "
-                        "until measured (BASELINE.md)")
+                        "convs (resnext/mobilenet/xception) — measured "
+                        "wash-to-negative on v5e, kept for sweeps "
+                        "(BASELINE.md round-3 --grouped A/B)")
+    p.add_argument("--int8_stem", action="store_true",
+                   help="with int8_exec_xla: also route the packed stem "
+                        "conv as a quantize-first int8 conv "
+                        "(BASELINE.md round-5 stem A/B)")
     p.add_argument("--tile_size", type=int, default=None)
     p.add_argument("--tile_overlap", type=int, default=None)
     p.add_argument("--tile_batch", type=int, default=None)
@@ -81,7 +86,7 @@ def build_config(args: argparse.Namespace) -> Config:
             setattr(cfg.predict, flag, v)
     for flag in ("use_argmax", "save_confidence", "save_binary",
                  "enable_wave_processing", "save_feature_maps",
-                 "int8_grouped"):
+                 "int8_grouped", "int8_stem"):
         if getattr(args, flag):
             setattr(cfg.predict, flag, True)
     return cfg.validate()

@@ -272,6 +272,13 @@ class PredictConfig:
     # grouped/depthwise convs are no faster than bf16 and the per-stage
     # quantize passes add VPU cost), so default-off; kept for sweeps.
     int8_grouped: bool = False
+    # With int8_exec_xla: also route the space-to-depth packed stem conv
+    # (quantize-first packed int8 conv, ops/int8_xla.int8_packed_stem_conv)
+    # — the stem input quantizes nearly losslessly (8-bit image source),
+    # and the stem cluster is ~12% of the int8 serving profile
+    # (logs/profile/attribution_int8.txt).  Default set by the round-5
+    # measured A/B (BASELINE.md "stem A/B").
+    int8_stem: bool = False
 
 
 @dataclass

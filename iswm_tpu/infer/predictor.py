@@ -133,6 +133,7 @@ class Predictor:
         conv_scales = calibrate_conv_inputs(
             self.model, self.params, self.batch_stats, tiles, wide=True,
             grouped=self.cfg.predict.int8_grouped,
+            stem=self.cfg.predict.int8_stem,
         )
         if self.quant:
             # QAT-learned running amaxes override the few-tile calibration
@@ -144,6 +145,7 @@ class Predictor:
             self.model, self.batch_stats, self.params,
             self.cfg.predict.serving_variant, conv_scales=conv_scales,
             grouped=self.cfg.predict.int8_grouped,
+            stem=self.cfg.predict.int8_stem,
         )
         self.engine = self._make_engine(fn)
         self._needs_calibration = False

@@ -213,7 +213,9 @@ def make_act_quant_fn(model, batch_stats, params, scales: Dict[str, float]) -> C
 
 
 # ------------------------------------------------------- executed int8
-def _int8_exec_eligible(module, wide: bool = False, grouped: bool = False) -> bool:
+def _int8_exec_eligible(
+    module, wide: bool = False, grouped: bool = False, stem: bool = False
+) -> bool:
     """int8-executable conv sites.
 
     Default (Pallas backend): 1x1 stride-1 dense convs whose channel counts
@@ -239,13 +241,26 @@ def _int8_exec_eligible(module, wide: bool = False, grouped: bool = False) -> bo
     mobilenetv2 −0.5%, xception −5.4% — the hoped-for depthwise bandwidth
     win doesn't materialize and the per-stage quantize passes add VPU
     cost), so it stays default-off as a documented negative.
+
+    ``stem`` (XLA backend, opt-in): also route the space-to-depth packed
+    stem conv (PackedStrided2Conv) via ops/int8_xla.int8_packed_stem_conv
+    — quantize-first so the pack gathers/concat move int8 bytes, then the
+    packed conv runs int8×int8→int32.  The stem input quantizes nearly
+    losslessly (the image source is 8-bit; the symmetric int8 grid on the
+    normalized input is about as fine as the source pixel grid), but the
+    conv is the profile's lowest-TFLOP/s site so the win is measured, not
+    assumed (see BASELINE.md round-5 stem A/B).
     """
     import flax.linen as nn
 
     if wide:
         from ..models.layers import (
-            BlockDiagConv, ConcatConvBN, ShiftedDilatedConv,
+            BlockDiagConv, ConcatConvBN, PackedStrided2Conv,
+            ShiftedDilatedConv,
         )
+
+        if stem and isinstance(module, PackedStrided2Conv):
+            return True
 
         # BlockDiagConv (grouped_blockdiag execution of resnext 3x3s,
         # default-on for resnext backbones) EXECUTES as a dense conv, so
@@ -271,7 +286,7 @@ def _int8_exec_eligible(module, wide: bool = False, grouped: bool = False) -> bo
 
 def calibrate_conv_inputs(
     model, params, batch_stats, batches, max_batches: int = 25,
-    wide: bool = False, grouped: bool = False,
+    wide: bool = False, grouped: bool = False, stem: bool = False,
 ) -> Dict[str, float]:
     """Per-conv input absmax/127 scales for the int8-executable sites.
 
@@ -282,11 +297,11 @@ def calibrate_conv_inputs(
     import flax.linen as nn
 
     site_vals: Dict[str, jax.Array] = {}
-    from ..models.layers import ConcatConvBN
+    from ..models.layers import ConcatConvBN, PackedStrided2Conv
 
     def observer(next_fn, args, kwargs, context):
         if (
-            _int8_exec_eligible(context.module, wide, grouped)
+            _int8_exec_eligible(context.module, wide, grouped, stem)
             and context.method_name == "__call__"
             and args
         ):
@@ -299,6 +314,11 @@ def calibrate_conv_inputs(
                     )
                 return next_fn(*args, **kwargs)
             x = args[0]
+            if isinstance(context.module, PackedStrided2Conv):
+                # the stem input is the 3-channel image — no channel gate
+                if x.ndim == 4:
+                    site_vals[key] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+                return next_fn(*args, **kwargs)
             ch_ok = (
                 x.shape[-1] >= 64 if wide else x.shape[-1] % 128 == 0
             )
@@ -366,6 +386,7 @@ def make_int8_exec_fn(
     backend: str = "pallas",
     wide: Optional[bool] = None,
     grouped: bool = False,
+    stem: bool = False,
 ) -> Callable:
     """EXECUTED int8: eligible convs run as int8 x int8 -> int32
     contractions with calibrated input scales; everything else dequantizes
@@ -403,8 +424,11 @@ def make_int8_exec_fn(
             "module routes have no Pallas lowering)"
         )
     if backend == "xla":
-        from ..models.layers import BlockDiagConv, ShiftedDilatedConv
+        from ..models.layers import (
+            BlockDiagConv, PackedStrided2Conv, ShiftedDilatedConv,
+        )
         from ..ops.int8_xla import (
+            int8_packed_stem_conv,
             int8_shifted_dilated_conv,
             quantized_conv_xla,
         )
@@ -413,6 +437,10 @@ def make_int8_exec_fn(
             if isinstance(module, ShiftedDilatedConv):
                 return int8_shifted_dilated_conv(
                     x, w_q, w_scale, x_scale, module.dilation
+                )
+            if isinstance(module, PackedStrided2Conv):
+                return int8_packed_stem_conv(
+                    x, w_q, w_scale, x_scale, module.kernel_size
                 )
             if isinstance(module, BlockDiagConv):
                 # expand the stored grouped (k,k,Cin/G,Cout) int8 kernel
@@ -504,7 +532,7 @@ def make_int8_exec_fn(
 
         def interceptor(next_fn, args, kwargs, context):
             if not (
-                _int8_exec_eligible(context.module, wide, grouped)
+                _int8_exec_eligible(context.module, wide, grouped, stem)
                 and context.method_name == "__call__"
                 and args
             ):
@@ -526,7 +554,14 @@ def make_int8_exec_fn(
                 routed.append(key)
                 return out
             x = args[0]
-            ch_ok = x.shape[-1] >= 64 if wide else x.shape[-1] % 128 == 0
+            if backend == "xla" and isinstance(
+                context.module, PackedStrided2Conv
+            ):
+                ch_ok = True  # the stem input is the 3-channel image
+            else:
+                ch_ok = (
+                    x.shape[-1] >= 64 if wide else x.shape[-1] % 128 == 0
+                )
             if x.ndim != 4 or not ch_ok or key not in conv_scales:
                 return next_fn(*args, **kwargs)
             w_q = _lookup(q_t, context.module.path)["kernel"]
@@ -572,6 +607,7 @@ def make_variant_fn(
     act_scales: Optional[Dict[str, float]] = None,
     conv_scales: Optional[Dict[str, float]] = None,
     grouped: bool = False,
+    stem: bool = False,
 ) -> Callable:
     """Build a jitted full-precision/bf16/int8 inference fn.
 
@@ -605,6 +641,7 @@ def make_variant_fn(
             model, batch_stats, params, conv_scales,
             backend="xla" if name.endswith("_xla") else "pallas",
             grouped=grouped,
+            stem=stem,
         )
     if name == "f32":
         use_params = cast_params(params, jnp.float32)

@@ -104,6 +104,57 @@ def quantized_conv_xla(
     )
 
 
+def int8_packed_stem_conv(
+    x: jax.Array,  # [B, H, W, C] float (the network input)
+    w_q: jax.Array,  # [k, k, C, F] int8 — canonical stride-2 stem kernel
+    w_scale: jax.Array,  # [1, 1, 1, F]
+    x_scale,
+    k: int,
+) -> jax.Array:
+    """int8 execution of the space-to-depth packed stride-2 stem conv
+    (models/layers.PackedStrided2Conv — the reference's ResNet stem
+    Conv2d(3,64,7,stride=2,padding=3), network/backbone/resnet.py).
+
+    Quantize-FIRST: the input is quantized at full resolution, so the
+    parity-take pack and its concatenate move int8 bytes (half the bf16
+    packing traffic), then the stride-1 packed conv contracts
+    ku·ku·4C taps int8×int8→int32.  The kernel packs exactly in int8
+    (pack_stem_kernel pads with zeros, and 0 is exact under symmetric
+    quantization), and the per-O weight scales are unchanged by packing
+    (packing permutes only the k/k/C axes).  Zero padding on the packed
+    input is exact for the same reason.  Odd spatial extents fall back to
+    the plain strided int8 conv, mirroring the module's own fallback.
+    """
+    from ..models.layers import (
+        pack_stem_input,
+        pack_stem_kernel,
+        torch_conv_padding,
+    )
+
+    b, h, w, c = x.shape
+    x_q = quantize_activations(x, x_scale)
+    if k % 2 == 1 and h % 2 == 0 and w % 2 == 0:
+        ku = (k + 2) // 2
+        pad_l = (k // 2 + 1) // 2
+        pad_r = ku - 1 - pad_l
+        x_q = pack_stem_input(x_q)
+        w_q = pack_stem_kernel(w_q, k)
+        strides, pads = (1, 1), [(pad_l, pad_r), (pad_l, pad_r)]
+    else:
+        pad = torch_conv_padding(k)
+        strides, pads = (2, 2), [pad, pad]
+    acc = jax.lax.conv_general_dilated(
+        x_q, w_q, strides, pads,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return (
+        acc.astype(jnp.float32)
+        * jnp.asarray(x_scale, jnp.float32)
+        * jnp.asarray(w_scale, jnp.float32).reshape(-1)
+    )
+
+
 def int8_shifted_dilated_conv(
     x: jax.Array,  # [B, H, W, C] float
     kernel_q: jax.Array,  # [3, 3, C, F] int8

@@ -56,6 +56,10 @@ def main() -> int:
                     help="int8_exec_xla also routes grouped/depthwise convs "
                          "(resnext 3x3s, mobilenet/xception depthwise) — "
                          "bandwidth play, A/B against the default")
+    ap.add_argument("--stem", action="store_true",
+                    help="int8_exec_xla also routes the packed stem conv "
+                         "(quantize-first int8; ops/int8_xla."
+                         "int8_packed_stem_conv) — A/B against the default")
     ap.add_argument("--grouped_blockdiag", type=int, default=-1,
                     help="blockdiag gate for grouped convs (-1=auto: 256 on "
                          "resnext, 0 elsewhere; 0=off for A/Bs — "
@@ -103,7 +107,7 @@ def main() -> int:
         conv_scales = calibrate_conv_inputs(
             model, params, batch_stats, calib,
             wide=any(v == "int8_exec_xla" for v in variants),
-            grouped=args.grouped,
+            grouped=args.grouped, stem=args.stem,
         )
         print(f"calibrated {len(conv_scales)} conv sites")
 
@@ -114,7 +118,7 @@ def main() -> int:
         # arguments (no weights-as-constants; infer/quantization.py)
         fn = make_variant_fn(
             model, batch_stats, params, name, conv_scales=conv_scales,
-            grouped=args.grouped,
+            grouped=args.grouped, stem=args.stem,
         )
         ms = time_loop(fn, x, args.steps) * 1e3
         tiles_s = args.batch / (ms * 1e-3)

@@ -268,6 +268,86 @@ def test_int8_exec_xla_variant(small_model):
     assert agree > 0.95, f"int8-exec-xla mask agreement {agree}"
 
 
+def test_int8_packed_stem_conv_matches_plain_strided():
+    """The packed int8 stem conv is bit-exact against the plain strided
+    int8 conv on the same quantized operands: packing only permutes the
+    kernel/input taps (zeros pad exactly in int8), so the int32
+    accumulators and the f32 scale-out are identical."""
+    import jax.numpy as jnp
+
+    from iswm_tpu.infer.quantization import quantize_params_int8
+    from iswm_tpu.ops.int8_xla import (
+        int8_packed_stem_conv,
+        quantized_conv_xla,
+    )
+
+    rng = np.random.default_rng(41)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 3)), jnp.float32)
+    params = {"k": {"kernel": jnp.asarray(
+        rng.normal(size=(7, 7, 3, 32)), jnp.float32)}}
+    q, s = quantize_params_int8(params)
+    x_scale = float(jnp.max(jnp.abs(x))) / 127.0
+    got = int8_packed_stem_conv(
+        x, q["k"]["kernel"], s["k"]["kernel"], x_scale, 7
+    )
+    want = quantized_conv_xla(
+        x, q["k"]["kernel"], s["k"]["kernel"], x_scale,
+        strides=(2, 2), padding=[(3, 3), (3, 3)],
+    )
+    assert got.shape == want.shape == (2, 8, 8, 32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # odd-extent fallback takes the plain strided path
+    x_odd = x[:, :15, :15]
+    got_odd = int8_packed_stem_conv(
+        x_odd, q["k"]["kernel"], s["k"]["kernel"], x_scale, 7
+    )
+    want_odd = quantized_conv_xla(
+        x_odd, q["k"]["kernel"], s["k"]["kernel"], x_scale,
+        strides=(2, 2), padding=[(3, 3), (3, 3)],
+    )
+    np.testing.assert_array_equal(np.asarray(got_odd), np.asarray(want_odd))
+
+
+def test_int8_exec_xla_routes_stem(small_model):
+    """stem=True routes the packed stem conv: calibration records the
+    3-channel image site, the interceptor reports it routed, and logits
+    stay in mask agreement with f32 (the stem input quantizes nearly
+    losslessly — its source is 8-bit imagery)."""
+    import jax.numpy as jnp
+
+    from iswm_tpu.infer.quantization import (
+        calibrate_conv_inputs,
+        make_int8_exec_fn,
+        make_variant_fn,
+    )
+
+    model, params, batch_stats = small_model
+    rng = np.random.default_rng(29)
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
+
+    conv_scales = calibrate_conv_inputs(
+        model, params, batch_stats, [x], wide=True, stem=True
+    )
+    assert "backbone/stem/conv" in conv_scales
+    fn = make_int8_exec_fn(
+        model, batch_stats, params, conv_scales, backend="xla", stem=True
+    )
+    logits_q = np.asarray(fn(x))
+    assert "backbone/stem/conv" in set(fn.routed_sites)
+
+    ref = make_variant_fn(model, batch_stats, params, "f32")
+    logits_f = np.asarray(ref(x))
+    agree = float((logits_q.argmax(-1) == logits_f.argmax(-1)).mean())
+    assert agree > 0.94, f"stem-routed int8 mask agreement {agree}"
+
+    # without the flag the stem stays bf16 (default unchanged)
+    fn_off = make_int8_exec_fn(
+        model, batch_stats, params, conv_scales, backend="xla"
+    )
+    fn_off(x)
+    assert "backbone/stem/conv" not in set(fn_off.routed_sites)
+
+
 def test_int8_shifted_dilated_matches_dense():
     """int8 valid-tap atrous conv vs the f32 ShiftedDilatedConv math."""
     import jax.numpy as jnp
