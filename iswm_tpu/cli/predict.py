@@ -49,8 +49,10 @@ def get_argparser() -> argparse.ArgumentParser:
                         "(BASELINE.md round-3 --grouped A/B)")
     p.add_argument("--int8_stem", action="store_true",
                    help="with int8_exec_xla: also route the packed stem "
-                        "conv as a quantize-first int8 conv "
-                        "(BASELINE.md round-5 stem A/B)")
+                        "conv as a quantize-first int8 conv — measured "
+                        "-17% on v5e (full-res quantize pass outweighs "
+                        "the HBM-bound conv win; BASELINE.md round-5 "
+                        "stem A/B), kept for sweeps")
     p.add_argument("--tile_size", type=int, default=None)
     p.add_argument("--tile_overlap", type=int, default=None)
     p.add_argument("--tile_batch", type=int, default=None)

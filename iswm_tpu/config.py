@@ -273,11 +273,11 @@ class PredictConfig:
     # quantize passes add VPU cost), so default-off; kept for sweeps.
     int8_grouped: bool = False
     # With int8_exec_xla: also route the space-to-depth packed stem conv
-    # (quantize-first packed int8 conv, ops/int8_xla.int8_packed_stem_conv)
-    # — the stem input quantizes nearly losslessly (8-bit image source),
-    # and the stem cluster is ~12% of the int8 serving profile
-    # (logs/profile/attribution_int8.txt).  Default set by the round-5
-    # measured A/B (BASELINE.md "stem A/B").
+    # (quantize-first packed int8 conv, ops/int8_xla.int8_packed_stem_conv).
+    # Measured NEGATIVE on v5e: −17% (1037.6 vs 1252.9 tiles/s, round-5
+    # stem A/B in BASELINE.md) — the full-resolution input quantize pass
+    # costs more than the HBM-bound stem conv saves.  Accuracy is not the
+    # issue (mask agreement 1.0); default-off, kept for sweeps.
     int8_stem: bool = False
 
 

@@ -245,11 +245,12 @@ def _int8_exec_eligible(
     ``stem`` (XLA backend, opt-in): also route the space-to-depth packed
     stem conv (PackedStrided2Conv) via ops/int8_xla.int8_packed_stem_conv
     — quantize-first so the pack gathers/concat move int8 bytes, then the
-    packed conv runs int8×int8→int32.  The stem input quantizes nearly
-    losslessly (the image source is 8-bit; the symmetric int8 grid on the
-    normalized input is about as fine as the source pixel grid), but the
-    conv is the profile's lowest-TFLOP/s site so the win is measured, not
-    assumed (see BASELINE.md round-5 stem A/B).
+    packed conv runs int8×int8→int32.  Measured NEGATIVE on v5e: −17%
+    serving throughput (BASELINE.md round-5 stem A/B) — the quantize pass
+    runs at FULL input resolution before the stem halves spatial extent,
+    and that elementwise cost exceeds what the HBM-bound stem conv saves.
+    Accuracy is a non-issue (mask agreement 1.0; the 8-bit image source
+    quantizes losslessly).  Default-off, kept for sweeps.
     """
     import flax.linen as nn
 

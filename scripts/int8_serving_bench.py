@@ -59,7 +59,8 @@ def main() -> int:
     ap.add_argument("--stem", action="store_true",
                     help="int8_exec_xla also routes the packed stem conv "
                          "(quantize-first int8; ops/int8_xla."
-                         "int8_packed_stem_conv) — A/B against the default")
+                         "int8_packed_stem_conv) — measured -17% on v5e "
+                         "(BASELINE.md round-5 stem A/B)")
     ap.add_argument("--grouped_blockdiag", type=int, default=-1,
                     help="blockdiag gate for grouped convs (-1=auto: 256 on "
                          "resnext, 0 elsewhere; 0=off for A/Bs — "
